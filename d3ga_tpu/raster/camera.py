@@ -1,0 +1,95 @@
+"""Camera model (3DGS conventions) as a JAX pytree.
+
+Matrix semantics match `/root/reference/lib/cameras.py:29-99` and
+`/root/reference/utils/graphics_utils.py:41-75`, expressed in standard
+column-vector form (the reference stores row-major transposes for its
+CUDA kernels; here `world_view @ [p,1]` maps world -> view directly).
+znear=0.01, zfar=100 fixed as in the reference.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Camera(NamedTuple):
+    world_view: jnp.ndarray  # [4,4] world -> view (column-vector convention)
+    full_proj: jnp.ndarray   # [4,4] world -> clip
+    camera_center: jnp.ndarray  # [3]
+    tanfovx: jnp.ndarray     # scalar
+    tanfovy: jnp.ndarray     # scalar
+    width: int               # static
+    height: int              # static
+
+
+def projection_matrix(znear, zfar, fovx, fovy, dtype=jnp.float32):
+    """Perspective projection, z in [znear, zfar] -> [0, 1]·w (3DGS form,
+    `utils/graphics_utils.py:55-75`); symmetric frustum so the (0,2)/(1,2)
+    entries vanish."""
+    t_x = np.tan(0.5 * fovx)
+    t_y = np.tan(0.5 * fovy)
+    P = np.zeros((4, 4), dtype=np.float64)
+    P[0, 0] = 1.0 / t_x
+    P[1, 1] = 1.0 / t_y
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    P[3, 2] = 1.0
+    return jnp.asarray(P, dtype=dtype)
+
+
+def world_to_view(R, T, dtype=jnp.float32):
+    """R: [3,3] camera-to-world rotation, T: [3] world-to-view translation
+    (COLMAP/3DGS convention, `utils/graphics_utils.py:41-52`)."""
+    R = np.asarray(R, dtype=np.float64)
+    T = np.asarray(T, dtype=np.float64)
+    M = np.eye(4)
+    M[:3, :3] = R.T
+    M[:3, 3] = T
+    return jnp.asarray(M, dtype=dtype)
+
+
+def make_camera(R, T, fovx, fovy, width, height, znear=0.01, zfar=100.0) -> Camera:
+    wv = world_to_view(R, T)
+    proj = projection_matrix(znear, zfar, fovx, fovy)
+    full = proj @ wv
+    # camera center = inverse(world2view) translation
+    wv_np = np.asarray(wv, dtype=np.float64)
+    center = np.linalg.inv(wv_np)[:3, 3]
+    return Camera(
+        world_view=wv,
+        full_proj=full,
+        camera_center=jnp.asarray(center, dtype=jnp.float32),
+        tanfovx=jnp.float32(np.tan(0.5 * float(fovx))),
+        tanfovy=jnp.float32(np.tan(0.5 * float(fovy))),
+        width=int(width),
+        height=int(height),
+    )
+
+
+def camera_from_matrices(world_view, full_proj, tanfovx, tanfovy, width, height) -> Camera:
+    """Build a Camera from traced matrices (differentiable path used when
+    camera params come out of learned pose corrections)."""
+    inv = jnp.linalg.inv(world_view)
+    return Camera(
+        world_view=world_view,
+        full_proj=full_proj,
+        camera_center=inv[:3, 3],
+        tanfovx=tanfovx,
+        tanfovy=tanfovy,
+        width=int(width),
+        height=int(height),
+    )
+
+
+def ndc2pix(v, size):
+    """NDC [-1,1] -> pixel coordinate (`lib/cameras.py:77-78`)."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def focal2fov(focal, pixels):
+    return 2.0 * np.arctan(pixels / (2.0 * focal))
+
+
+def fov2focal(fov, pixels):
+    return pixels / (2.0 * np.tan(0.5 * fov))

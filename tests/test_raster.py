@@ -1,0 +1,287 @@
+"""Rasterizer tests: oracle sanity, tiled == oracle, gradients vs finite
+differences, edge cases (behind camera, tile borders, saturation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d3ga_tpu.ops.covariance import strip_symmetric, covariance_from_scaling_rotation
+from d3ga_tpu.ops.quaternion import quat_normalize
+from d3ga_tpu.raster.camera import make_camera, focal2fov
+from d3ga_tpu.raster.oracle import rasterize_oracle
+from d3ga_tpu.raster.tiles import rasterize_tiled
+from d3ga_tpu.raster.api import rasterize, RasterSettings
+
+
+def simple_camera(w=64, h=48):
+    # Camera at origin looking down +z (identity R), gaussians at z>0.
+    R = np.eye(3)
+    T = np.zeros(3)
+    fovx = focal2fov(60.0, w)
+    fovy = focal2fov(60.0, h)
+    return make_camera(R, T, fovx, fovy, w, h)
+
+
+def random_scene(key, n=200, spread=0.8, z0=4.0, dz=2.0):
+    ks = jax.random.split(key, 6)
+    means = jnp.concatenate(
+        [
+            jax.random.uniform(ks[0], (n, 2), minval=-spread, maxval=spread),
+            jax.random.uniform(ks[1], (n, 1), minval=z0, maxval=z0 + dz),
+        ],
+        axis=-1,
+    )
+    scales = jnp.exp(jax.random.uniform(ks[2], (n, 3), minval=-3.5, maxval=-2.2))
+    rots = quat_normalize(jax.random.normal(ks[3], (n, 4)))
+    opac = jax.random.uniform(ks[4], (n, 1), minval=0.3, maxval=0.95)
+    colors = jax.random.uniform(ks[5], (n, 3))
+    return means, scales, rots, opac, colors
+
+
+class TestOracle:
+    def test_empty_scene_is_background(self):
+        cam = simple_camera()
+        bg = jnp.array([0.2, 0.4, 0.6])
+        means = jnp.zeros((4, 3)).at[:, 2].set(-5.0)  # all behind camera
+        img = rasterize_oracle(
+            means,
+            cam,
+            bg,
+            scales=jnp.full((4, 3), 0.1),
+            rotations=jnp.tile(jnp.array([1.0, 0, 0, 0]), (4, 1)),
+            opacities=jnp.ones((4, 1)),
+            colors=jnp.ones((4, 3)),
+        )
+        assert img.shape == (3, 48, 64)
+        np.testing.assert_allclose(img, jnp.broadcast_to(bg[:, None, None], img.shape), atol=1e-6)
+
+    def test_single_gaussian_center(self):
+        cam = simple_camera()
+        bg = jnp.zeros(3)
+        means = jnp.array([[0.0, 0.0, 5.0]])
+        img = rasterize_oracle(
+            means,
+            cam,
+            bg,
+            scales=jnp.full((1, 3), 0.3),
+            rotations=jnp.array([[1.0, 0, 0, 0]]),
+            opacities=jnp.array([[0.9]]),
+            colors=jnp.array([[1.0, 0.5, 0.25]]),
+        )
+        # Center pixel (w/2-0.5 => pixels 31/32) should be strongly colored.
+        assert img[0, 24, 32] > 0.5
+        # Color ratio preserved
+        np.testing.assert_allclose(img[1, 24, 32] / img[0, 24, 32], 0.5, atol=1e-4)
+        # Corner is background
+        np.testing.assert_allclose(img[:, 0, 0], 0.0, atol=1e-3)
+
+    def test_depth_ordering(self):
+        # Nearer opaque gaussian should dominate over farther one.
+        cam = simple_camera()
+        bg = jnp.zeros(3)
+        means = jnp.array([[0.0, 0.0, 3.0], [0.0, 0.0, 6.0]])
+        img_near_red = rasterize_oracle(
+            means,
+            cam,
+            bg,
+            scales=jnp.full((2, 3), 0.4),
+            rotations=jnp.tile(jnp.array([1.0, 0, 0, 0]), (2, 1)),
+            opacities=jnp.array([[0.95], [0.95]]),
+            colors=jnp.array([[1.0, 0, 0], [0.0, 1.0, 0]]),
+        )
+        assert img_near_red[0, 24, 32] > img_near_red[1, 24, 32]
+
+    def test_cov3d_equals_scales_rotations(self):
+        cam = simple_camera()
+        key = jax.random.PRNGKey(0)
+        means, scales, rots, opac, colors = random_scene(key, n=50)
+        bg = jnp.array([1.0, 1.0, 1.0])
+        img_sr = rasterize_oracle(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac, colors=colors
+        )
+        cov6 = strip_symmetric(covariance_from_scaling_rotation(scales, rots))
+        img_cov = rasterize_oracle(
+            means, cam, bg, cov3d=cov6, opacities=opac, colors=colors
+        )
+        np.testing.assert_allclose(img_sr, img_cov, atol=1e-5)
+
+    def test_sh_degree0_matches_precomp(self):
+        cam = simple_camera()
+        key = jax.random.PRNGKey(1)
+        means, scales, rots, opac, colors = random_scene(key, n=30)
+        from d3ga_tpu.ops.sh import rgb_to_sh
+
+        shs = jnp.zeros((30, 1, 3)).at[:, 0, :].set(rgb_to_sh(colors))
+        bg = jnp.zeros(3)
+        a = rasterize_oracle(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac, colors=colors
+        )
+        b = rasterize_oracle(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac, shs=shs,
+            sh_degree=0,
+        )
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestTiledMatchesOracle:
+    @pytest.mark.parametrize("n", [1, 37, 400])
+    def test_match(self, n):
+        cam = simple_camera(w=80, h=56)  # non-multiple of 16 width/height
+        key = jax.random.PRNGKey(n)
+        means, scales, rots, opac, colors = random_scene(key, n=n)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        ref = rasterize_oracle(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac, colors=colors
+        )
+        img, aux = rasterize_tiled(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac,
+            colors=colors, max_per_tile=512,
+        )
+        assert aux.overflow == 0
+        np.testing.assert_allclose(img, ref, atol=2e-5)
+
+    def test_saturated_early_termination(self):
+        # Stack many opaque gaussians: T < 1e-4 termination must match.
+        cam = simple_camera()
+        n = 64
+        means = jnp.tile(jnp.array([[0.0, 0.0, 0.0]]), (n, 1)).at[:, 2].set(
+            3.0 + jnp.arange(n) * 0.01
+        )
+        scales = jnp.full((n, 3), 0.5)
+        rots = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+        opac = jnp.full((n, 1), 0.99)
+        colors = jax.random.uniform(jax.random.PRNGKey(0), (n, 3))
+        bg = jnp.ones(3)
+        ref = rasterize_oracle(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac, colors=colors
+        )
+        img, _ = rasterize_tiled(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac,
+            colors=colors, max_per_tile=128,
+        )
+        np.testing.assert_allclose(img, ref, atol=2e-5)
+
+    def test_overflow_counter(self):
+        cam = simple_camera()
+        n = 32
+        means = jnp.zeros((n, 3)).at[:, 2].set(5.0)
+        img, aux = rasterize_tiled(
+            means,
+            cam,
+            jnp.zeros(3),
+            scales=jnp.full((n, 3), 0.01),
+            rotations=jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
+            opacities=jnp.full((n, 1), 0.01),  # transparent: cap harmless
+            colors=jnp.ones((n, 3)),
+            max_per_tile=8,
+        )
+        assert aux.overflow > 0
+        assert aux.max_per_tile == n
+
+
+class TestGradients:
+    def test_grad_matches_finite_difference(self):
+        cam = simple_camera(w=32, h=32)
+        key = jax.random.PRNGKey(5)
+        means, scales, rots, opac, colors = random_scene(key, n=12, spread=0.4)
+        bg = jnp.zeros(3)
+        target = jax.random.uniform(jax.random.PRNGKey(6), (3, 32, 32))
+
+        def loss(params):
+            img, _ = rasterize_tiled(
+                params["means"],
+                cam,
+                bg,
+                scales=params["scales"],
+                rotations=rots,
+                opacities=params["opac"],
+                colors=params["colors"],
+                max_per_tile=64,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        params = {"means": means, "scales": scales, "opac": opac, "colors": colors}
+        g = jax.grad(loss)(params)
+
+        # Finite differences on a few coordinates of each leaf. The
+        # rasterizer has genuine kinks (alpha >= 1/255 skip, T < 1e-4
+        # cut, tile-membership changes); coordinates where FD at two
+        # step sizes disagrees are nonsmooth and skipped.
+        loss_j = jax.jit(loss)
+
+        def fd(name, i, eps):
+            def shift(s):
+                p = dict(params)
+                arr = np.asarray(params[name]).copy().ravel()
+                arr[i] += s
+                p[name] = jnp.asarray(arr.reshape(params[name].shape))
+                return loss_j(p)
+
+            return (shift(eps) - shift(-eps)) / (2 * eps)
+
+        rng = np.random.RandomState(0)
+        n_checked = 0
+        for name in params:
+            flat = np.asarray(params[name]).ravel()
+            gflat = np.asarray(g[name]).ravel()
+            idxs = rng.choice(flat.size, size=min(5, flat.size), replace=False)
+            for i in idxs:
+                eps = 1e-3 if name != "means" else 5e-4
+                fd1 = fd(name, i, eps)
+                fd2 = fd(name, i, eps / 2)
+                if abs(fd1 - fd2) > 0.02 * abs(fd1) + 1e-5:
+                    continue  # nonsmooth coordinate
+                n_checked += 1
+                np.testing.assert_allclose(
+                    gflat[i], fd2, rtol=0.05, atol=1e-4,
+                    err_msg=f"grad mismatch {name}[{i}]",
+                )
+        assert n_checked >= 8, "too few smooth coordinates checked"
+
+    def test_oracle_and_tiled_grads_agree(self):
+        cam = simple_camera(w=48, h=32)
+        key = jax.random.PRNGKey(9)
+        means, scales, rots, opac, colors = random_scene(key, n=40)
+        bg = jnp.array([0.5, 0.5, 0.5])
+
+        def loss_tiled(m):
+            img, _ = rasterize_tiled(
+                m, cam, bg, scales=scales, rotations=rots, opacities=opac,
+                colors=colors, max_per_tile=128,
+            )
+            return jnp.sum(img**2)
+
+        def loss_oracle(m):
+            img = rasterize_oracle(
+                m, cam, bg, scales=scales, rotations=rots, opacities=opac, colors=colors
+            )
+            return jnp.sum(img**2)
+
+        g1 = jax.grad(loss_tiled)(means)
+        g2 = jax.grad(loss_oracle)(means)
+        np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
+
+
+class TestAPI:
+    def test_rasterize_validates(self):
+        cam = simple_camera()
+        with pytest.raises(ValueError):
+            rasterize(cam, jnp.zeros((1, 3)), jnp.ones((1, 1)), jnp.zeros(3))
+
+    def test_jit_and_settings(self):
+        cam = simple_camera()
+        key = jax.random.PRNGKey(2)
+        means, scales, rots, opac, colors = random_scene(key, n=20)
+
+        @jax.jit
+        def run(m):
+            img, _ = rasterize(
+                cam, m, opac, jnp.zeros(3), scales=scales, rotations=rots,
+                colors=colors, settings=RasterSettings(max_per_tile=64),
+            )
+            return img
+
+        img = run(means)
+        assert img.shape == (3, 48, 64)
+        assert bool(jnp.all(jnp.isfinite(img)))
