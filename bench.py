@@ -1,0 +1,94 @@
+"""Benchmark harness: differentiable Gaussian-splat raster fwd+bwd at
+Goliath scale (135k Gaussians, ~1024x667 image — the axe184 workload,
+`/root/reference/configs/goliath_axe184.yml:108-127`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+denominator is an engineering estimate of the CUDA reference's training
+throughput on a single modern GPU — ~100 fwd+bwd rasterizations/s at
+1024x667 (~68 Mpix/s) for diff-gaussian-rasterization at this scale.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MPIX_S = 68.0  # estimated CUDA reference fwd+bwd throughput
+
+H, W = 1024, 667
+N_GAUSS = 135_000
+MAX_PER_TILE = 256
+
+
+def build_scene(key):
+    from d3ga_tpu.ops.quaternion import quat_normalize
+
+    ks = jax.random.split(key, 6)
+    # A human-ish scene: Gaussians in a 1.8m x 0.6m volume, 3.5m away.
+    means = jnp.concatenate(
+        [
+            jax.random.normal(ks[0], (N_GAUSS, 1)) * 0.25,
+            jax.random.normal(ks[1], (N_GAUSS, 1)) * 0.6,
+            3.5 + jax.random.normal(ks[2], (N_GAUSS, 1)) * 0.15,
+        ],
+        axis=-1,
+    )
+    scales = jnp.exp(jax.random.uniform(ks[3], (N_GAUSS, 3), minval=-6.0, maxval=-4.6))
+    rots = quat_normalize(jax.random.normal(ks[4], (N_GAUSS, 4)))
+    opac = jax.random.uniform(ks[5], (N_GAUSS, 1), minval=0.3, maxval=0.95)
+    colors = jax.random.uniform(jax.random.fold_in(key, 9), (N_GAUSS, 3))
+    return means, scales, rots, opac, colors
+
+
+def main():
+    from d3ga_tpu.ops.covariance import covariance_from_scaling_rotation, strip_symmetric
+    from d3ga_tpu.raster.camera import focal2fov, make_camera
+    from d3ga_tpu.raster.tiles import rasterize_tiled
+
+    camera = make_camera(
+        np.eye(3), np.zeros(3), focal2fov(1100.0, W), focal2fov(1100.0, H), W, H
+    )
+    means, scales, rots, opac, colors = build_scene(jax.random.PRNGKey(0))
+    cov6 = strip_symmetric(covariance_from_scaling_rotation(scales, rots))
+    target = jax.random.uniform(jax.random.PRNGKey(1), (3, H, W))
+    bg = jnp.zeros(3)
+
+    def loss_fn(means, cov6, opac, colors):
+        img, _ = rasterize_tiled(
+            means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
+            max_per_tile=MAX_PER_TILE,
+        )
+        return jnp.mean(jnp.abs(img - target))
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
+
+    # warmup/compile
+    g = step(means, cov6, opac, colors)
+    jax.block_until_ready(g)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(means, cov6, opac, colors)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    mpix_s = (H * W) / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "raster_fwd_bwd_throughput",
+                "value": round(mpix_s, 3),
+                "unit": "Mpixels/s",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

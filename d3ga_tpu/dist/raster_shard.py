@@ -1,0 +1,230 @@
+"""Collective rasterization: Gaussian-parallel geometry, tile-parallel
+blend, connected by one all-gather of the projected records over ICI.
+
+This is the multi-chip counterpart of the CUDA reference's single-GPU
+tile binning (new design — the reference has no distributed layer,
+SURVEY.md §2.2). Within a "model" mesh-axis group:
+
+  1. each device projects its N/m Gaussian shard (EWA preprocess),
+  2. the ~13-float records are all-gathered over the axis (~7 MB for
+     135k Gaussians — cheap on ICI; the transpose of this gather is the
+     psum-scatter that routes pixel gradients back to Gaussian shards),
+  3. each device depth-sorts the full record set (redundant but tiny:
+     one 135k argsort) and rasterizes only its tile slice,
+  4. the finished tile blocks are all-gathered to rebuild the image
+     (replicated within the group) so window-based losses (SSIM/VGG)
+     can run; its transpose scatters image gradients back to tile owners.
+
+All functions here are designed to run INSIDE shard_map.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from d3ga_tpu.raster.camera import Camera
+from d3ga_tpu.raster.project import project_gaussians, tile_rect
+from d3ga_tpu.raster.tiles import (
+    BIG_RANK,
+    TILE,
+    _blend_tiles,
+    _select_per_tile,
+)
+
+
+def rasterize_collective(
+    local_means,
+    camera: Camera,
+    bg_color,
+    axis: str,
+    n_shards: int,
+    cov3d=None,
+    scales=None,
+    rotations=None,
+    opacities=None,
+    colors=None,
+    shs=None,
+    sh_degree: int = 0,
+    max_per_tile: int = 256,
+):
+    """Rasterize from per-shard Gaussian arrays; returns the full
+    [C, H, W] image (replicated within the axis group).
+
+    Call inside shard_map with `axis` being the "model" mesh axis; all
+    local_* arrays hold this device's N/m shard.
+    """
+    H, W = camera.height, camera.width
+    n_tiles_x = -(-W // TILE)
+    n_tiles_y = -(-H // TILE)
+    n_tiles = n_tiles_x * n_tiles_y
+    tiles_per_shard = -(-n_tiles // n_shards)
+
+    proj = project_gaussians(
+        local_means,
+        camera,
+        cov3d=cov3d,
+        scales=scales,
+        rotations=rotations,
+        opacities=opacities,
+        colors=colors,
+        shs=shs,
+        sh_degree=sh_degree,
+    )
+
+    # Gather the compact screen-space records across the Gaussian shards.
+    rec = (
+        proj.xy,
+        proj.depth,
+        proj.conic,
+        proj.color,
+        proj.opacity,
+        proj.radius,
+        proj.valid,
+    )
+    xy, depth, conic, color, opac, radius, valid = (
+        jax.lax.all_gather(r, axis, tiled=True) for r in rec
+    )
+
+    valid = valid & (radius > 0)
+    sort_depth = jnp.where(valid, depth, jnp.inf)
+    order = jnp.argsort(sort_depth, stable=True)
+    rank_of = jnp.argsort(order, stable=True)
+
+    rects = tile_rect(xy, radius, TILE, n_tiles_x, n_tiles_y)
+
+    my = jax.lax.axis_index(axis)
+    tile_ids = my * tiles_per_shard + jnp.arange(tiles_per_shard, dtype=jnp.int32)
+    tile_ids = jnp.minimum(tile_ids, n_tiles - 1)  # clamp padding tiles
+
+    ranks, counts = _select_per_tile(
+        rects, valid, n_tiles_x, n_tiles_y, rank_of, max_per_tile,
+        tile_ids=tile_ids,
+    )
+    sel_valid = ranks < BIG_RANK
+    safe = jnp.where(sel_valid, ranks, 0)
+
+    xy_t = xy[order][safe]
+    conic_t = conic[order][safe]
+    color_t = color[order][safe]
+    opac_t = opac[order][safe]
+
+    origin = jnp.stack(
+        [(tile_ids % n_tiles_x) * TILE, (tile_ids // n_tiles_x) * TILE], -1
+    )
+    my_tiles = _blend_tiles(
+        xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, origin
+    )  # [tiles_per_shard, 256, C+1]
+
+    all_tiles = jax.lax.all_gather(my_tiles, axis, tiled=True)
+    # Drop clamped padding duplicates: rebuild by unique tile id order.
+    n_total = n_shards * tiles_per_shard
+    if n_total > n_tiles:
+        # padding tiles were clamped to (n_tiles-1); the true tile block
+        # for (n_tiles-1) is the first occurrence. Slice per shard.
+        keep = []
+        for s in range(n_shards):
+            lo = s * tiles_per_shard
+            hi = min((s + 1) * tiles_per_shard, n_tiles) - s * tiles_per_shard
+            if hi > 0:
+                keep.append(all_tiles[lo : lo + hi])
+        all_tiles = jnp.concatenate(keep, axis=0)
+
+    C = all_tiles.shape[-1] - 1
+    img = all_tiles.reshape(n_tiles_y, n_tiles_x, TILE, TILE, C + 1)
+    img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(
+        n_tiles_y * TILE, n_tiles_x * TILE, C + 1
+    )[:H, :W]
+    image = jnp.transpose(img[..., :C], (2, 0, 1))
+    overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
+    return image, overflow
+
+
+def rasterize_sharded(
+    mesh,
+    means3d,
+    camera: Camera,
+    bg_color,
+    cov3d=None,
+    scales=None,
+    rotations=None,
+    opacities=None,
+    colors=None,
+    shs=None,
+    sh_degree: int = 0,
+    max_per_tile: int = 256,
+    axis: str = "model",
+):
+    """Top-level wrapper: shards full Gaussian arrays over `axis`, runs
+    the collective rasterizer, returns the (replicated) image. Used for
+    eval/bench and for testing sharded == single-device."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    m = mesh.shape[axis]
+    n = means3d.shape[0]
+    pad = (-n) % m
+
+    def padg(x, fill=0.0):
+        if x is None or pad == 0:
+            return x
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1), constant_values=fill)
+
+    # Padding Gaussians sit behind the camera -> culled.
+    means_p = means3d
+    if pad:
+        behind = jnp.broadcast_to(
+            camera.camera_center[None]
+            - 100.0 * camera.world_view[2, :3][None],
+            (pad, 3),
+        )
+        means_p = jnp.concatenate([means3d, behind], axis=0)
+
+    args = dict(
+        cov3d=padg(cov3d),
+        scales=padg(scales, 1e-6),
+        rotations=padg(rotations, 1.0),
+        opacities=padg(opacities),
+        colors=padg(colors),
+        shs=padg(shs),
+    )
+    present = {k: v for k, v in args.items() if v is not None}
+    keys = tuple(sorted(present.keys()))
+    W, H = camera.width, camera.height
+
+    def fn(means_local, wv, fp, cc, tfx, tfy, bg, *vals):
+        cam = Camera(
+            world_view=wv, full_proj=fp, camera_center=cc,
+            tanfovx=tfx, tanfovy=tfy, width=W, height=H,
+        )
+        local = dict(zip(keys, vals))
+        img, overflow = rasterize_collective(
+            means_local,
+            cam,
+            bg,
+            axis=axis,
+            n_shards=m,
+            sh_degree=sh_degree,
+            max_per_tile=max_per_tile,
+            **{k: local.get(k) for k in args},
+        )
+        return img, overflow
+
+    shard = P(axis)
+    rep = P()
+    out = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(shard,) + (rep,) * 6 + tuple(shard for _ in keys),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(
+        means_p,
+        camera.world_view,
+        camera.full_proj,
+        camera.camera_center,
+        camera.tanfovx,
+        camera.tanfovy,
+        bg_color,
+        *[present[k] for k in keys],
+    )
+    return out

@@ -57,16 +57,22 @@ def _normalize(x, eps=1e-12):
 
 def tbn_frames(vertices: np.ndarray, faces: np.ndarray, face_ids: np.ndarray):
     """Per-sample tangent-bitangent-normal rotation matrices [n, 3, 3]
-    with columns (T, B, N) — the initial Gaussian orientations
-    (`/root/reference/lib/cage.py:276-290`)."""
+    with columns (T, B, N) — the initial Gaussian orientations.
+
+    Note: the reference's construction (`/root/reference/lib/cage.py:281-288`,
+    B = e0 x T with T = e0 x N) yields B parallel to N — a degenerate
+    frame whose quaternion conversion is arbitrary. Since these only seed
+    a *learned* rotation parameter, this build uses the proper
+    orthonormal right-handed frame (T = e0_hat, B = N x T) instead.
+    """
     tri = faces[face_ids]
     v0 = vertices[tri[:, 0]]
     v1 = vertices[tri[:, 1]]
     v2 = vertices[tri[:, 2]]
     e0 = v1 - v0
     n = _normalize(np.cross(e0, v2 - v0))
-    t = _normalize(np.cross(e0, n))
-    b = _normalize(np.cross(e0, t))
+    t = _normalize(e0)
+    b = np.cross(n, t)
     return np.stack([t, b, n], axis=2)
 
 

@@ -46,7 +46,7 @@ def _pixel_alphas(proj: Projected, order, px, py, n_tiles_x, n_tiles_y):
     conic = proj.conic[order]
     opac = proj.opacity[order]
     valid = proj.valid[order] & (proj.radius[order] > 0)
-    xmin, xmax, ymin, ymax = tile_rect(proj, TILE, n_tiles_x, n_tiles_y)
+    xmin, xmax, ymin, ymax = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
     xmin, xmax, ymin, ymax = xmin[order], xmax[order], ymin[order], ymax[order]
 
     tx = px // TILE

@@ -146,19 +146,20 @@ def project_gaussians(
     )
 
 
-def tile_rect(proj: Projected, tile_size: int, n_tiles_x: int, n_tiles_y: int):
+def tile_rect(xy, radius, tile_size: int, n_tiles_x: int, n_tiles_y: int):
     """Per-Gaussian touched tile rectangle [xmin, xmax), [ymin, ymax)
-    (CUDA getRect semantics: min/max over tile grid)."""
-    r = proj.radius.astype(proj.xy.dtype)
-    xmin = jnp.clip(((proj.xy[:, 0] - r) / tile_size).astype(jnp.int32), 0, n_tiles_x)
-    ymin = jnp.clip(((proj.xy[:, 1] - r) / tile_size).astype(jnp.int32), 0, n_tiles_y)
+    (CUDA getRect semantics: min/max over tile grid). xy: [N, 2],
+    radius: [N] int."""
+    r = radius.astype(xy.dtype)
+    xmin = jnp.clip(((xy[:, 0] - r) / tile_size).astype(jnp.int32), 0, n_tiles_x)
+    ymin = jnp.clip(((xy[:, 1] - r) / tile_size).astype(jnp.int32), 0, n_tiles_y)
     xmax = jnp.clip(
-        ((proj.xy[:, 0] + r + tile_size - 1) / tile_size).astype(jnp.int32),
+        ((xy[:, 0] + r + tile_size - 1) / tile_size).astype(jnp.int32),
         0,
         n_tiles_x,
     )
     ymax = jnp.clip(
-        ((proj.xy[:, 1] + r + tile_size - 1) / tile_size).astype(jnp.int32),
+        ((xy[:, 1] + r + tile_size - 1) / tile_size).astype(jnp.int32),
         0,
         n_tiles_y,
     )

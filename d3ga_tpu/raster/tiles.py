@@ -39,16 +39,24 @@ class RasterAux(NamedTuple):
     n_contrib: jnp.ndarray     # [] int32: total selected entries
 
 
-def _select_per_tile(rects, valid, n_tiles_x, n_tiles_y, rank_of_gaussian, K, tile_chunk=512):
-    """For every tile, ranks of the frontmost K overlapping Gaussians.
+def _select_per_tile(
+    rects, valid, n_tiles_x, n_tiles_y, rank_of_gaussian, K,
+    tile_chunk=512, tile_ids=None,
+):
+    """For every tile (or the given tile_ids subset), ranks of the
+    frontmost K overlapping Gaussians.
 
     Returns (ranks [T, K] int32 with BIG_RANK padding, counts [T] int32).
     """
     xmin, xmax, ymin, ymax = rects
-    n_tiles = n_tiles_x * n_tiles_y
+    n_tiles = n_tiles_x * n_tiles_y if tile_ids is None else tile_ids.shape[0]
+    tile_chunk = min(tile_chunk, max(1, n_tiles))
     n_pad = -(-n_tiles // tile_chunk) * tile_chunk
 
-    tids = jnp.arange(n_pad, dtype=jnp.int32)
+    if tile_ids is None:
+        tids = jnp.arange(n_pad, dtype=jnp.int32)
+    else:
+        tids = jnp.pad(tile_ids.astype(jnp.int32), (0, n_pad - n_tiles))
     txs = tids % n_tiles_x
     tys = tids // n_tiles_x
 
@@ -176,7 +184,7 @@ def rasterize_tiled(
     order = jnp.argsort(sort_depth, stable=True)  # rank -> gaussian id
     rank_of = jnp.argsort(order, stable=True)     # gaussian id -> rank
 
-    rects = tile_rect(proj, TILE, n_tiles_x, n_tiles_y)
+    rects = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
     ranks, counts = _select_per_tile(
         rects, valid, n_tiles_x, n_tiles_y, rank_of, max_per_tile
     )

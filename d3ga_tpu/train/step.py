@@ -1,0 +1,203 @@
+"""The jitted training step: forward, render (RGB + silhouette), loss
+assembly, optimizer update.
+
+Loss assembly replicates `/root/reference/train.py:190-258` +
+`models/trainer.py:91-140`:
+
+  color   = (1-lambda_dssim) L1 + lambda_dssim (1-SSIM)      * rgb_weight
+  sil     = L1(pred_sil, colored gt sil)                      * sil_weight
+  code    = mean(frame_enc^2)*1e-3 + mean(opt_poses^2)*7.5e-3
+  scale   = scale_energy * 175
+  fme     = (mean fem + 3.0) * fme_weight
+  blur    = |blur_raw - 1|.mean() * blur_weight
+  vgg     = VGG19 perceptual * vgg_weight        (after enable_vgg_from)
+
+with a random background color per step and a second rasterization for
+the silhouette (optionally with detached position/covariance/opacity).
+"""
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from d3ga_tpu.fields import apply_learnable_blur, apply_pixel_bias, blur_reg
+from d3ga_tpu.model.avatar import AvatarModel, avatar_forward
+from d3ga_tpu.raster.tiles import rasterize_tiled
+from d3ga_tpu.train.losses import l1_loss, ssim, vgg_loss
+
+
+class LossWeights(NamedTuple):
+    rgb_weight: float = 10.0
+    sil_weight: float = 5.0
+    fme_weight: float = 0.0025
+    vgg_weight: float = 0.05
+    blur_weight: float = 1e-5
+    lambda_dssim: float = 0.2
+    enable_vgg_from: int = 60_000
+
+
+def render_frame(
+    params,
+    model: AvatarModel,
+    batch,
+    rng,
+    training=True,
+    max_per_tile=256,
+    detach_silhouette=(),
+    vgg_params=None,
+    loss_weights: LossWeights = LossWeights(),
+    iteration=0,
+):
+    """Forward + two rasterizations + per-frame loss terms.
+
+    Returns (loss_terms dict, aux dict with images).
+    """
+    cfg = model.config
+    camera = batch["camera"]
+    pkg = avatar_forward(params, model, batch, training=training)
+
+    if training:
+        bg = jax.random.uniform(rng, (3,))
+    else:
+        bg = jnp.ones(3) if cfg.get("background", "white") == "white" else jnp.zeros(3)
+
+    raster_kwargs = dict(max_per_tile=max_per_tile)
+    pred_image, aux_rgb = rasterize_tiled(
+        pkg["means3D"], camera, bg,
+        cov3d=pkg.get("cov3D_precomp"),
+        scales=pkg.get("scales"),
+        rotations=pkg.get("rotations"),
+        opacities=pkg["opacities"],
+        colors=pkg["rgb"],
+        shs=pkg["shs"] if pkg.get("rgb") is None else None,
+        sh_degree=int(batch.get("sh_degree", 0)),
+        **raster_kwargs,
+    )
+
+    sil_means = pkg["means3D"]
+    sil_cov = pkg.get("cov3D_precomp")
+    sil_opac = pkg["opacities"]
+    if "position" in detach_silhouette:
+        sil_means = jax.lax.stop_gradient(sil_means)
+    if "covariance" in detach_silhouette and sil_cov is not None:
+        sil_cov = jax.lax.stop_gradient(sil_cov)
+    if "opacity" in detach_silhouette:
+        sil_opac = jax.lax.stop_gradient(sil_opac)
+    pred_sil, _ = rasterize_tiled(
+        sil_means, camera, jnp.zeros(3),
+        cov3d=sil_cov,
+        scales=pkg.get("scales"),
+        rotations=pkg.get("rotations"),
+        opacities=sil_opac,
+        colors=pkg["silhouette_rgb"],
+        **raster_kwargs,
+    )
+
+    blur_weights = None
+    if "learnable_blur" in params:
+        pred_image = apply_learnable_blur(
+            params["learnable_blur"], pred_image, batch["camera_idx"]
+        )
+        blur_weights = blur_reg(params["learnable_blur"], batch["camera_idx"])
+    if "pixel_cal" in params:
+        H, W = pred_image.shape[1], pred_image.shape[2]
+        pred_image = pred_image + apply_pixel_bias(
+            params["pixel_cal"], batch["camera_idx"], H, W
+        )
+
+    # Ground-truth composition (`train.py:181-189`).
+    gt_alpha = batch["alpha"]
+    if gt_alpha.ndim == 2:
+        gt_alpha = gt_alpha[None]
+    gt_alpha = jnp.broadcast_to(gt_alpha, batch["image"].shape)
+    gt_image = batch["image"] * gt_alpha + (1.0 - gt_alpha) * bg[:, None, None]
+    gt_sil = batch["silhouette"] * gt_alpha
+    if "boundary_fg" in batch:
+        b = 1.0 - batch["boundary_fg"]
+        gt_image = gt_image * b + (1.0 - b) * bg[:, None, None]
+        gt_sil = gt_sil * b
+
+    lw = loss_weights
+    rgb_l1 = l1_loss(pred_image, gt_image)
+    rgb_ssim = ssim(pred_image, gt_image)
+    color = (1.0 - lw.lambda_dssim) * rgb_l1 + lw.lambda_dssim * (1.0 - rgb_ssim)
+    sil_l1 = l1_loss(pred_sil, gt_sil)
+
+    code_reg = jnp.mean(pkg["frame_encoding"] ** 2) * 0.001
+    if pkg.get("optimizable_poses") is not None:
+        code_reg = code_reg + jnp.mean(pkg["optimizable_poses"] ** 2) * 0.0075
+
+    terms = {
+        "color_loss": color * lw.rgb_weight,
+        "sil_loss": sil_l1 * lw.sil_weight,
+        "codes_reg": code_reg,
+        "scale_loss": pkg["scale_energy"].mean() * 175.0,
+        "fme_loss": (pkg["fm_energy"].mean() + 3.0) * lw.fme_weight,
+    }
+    if blur_weights is not None:
+        terms["blur_loss"] = jnp.mean(jnp.abs(blur_weights - 1.0)) * lw.blur_weight
+    if vgg_params is not None and lw.enable_vgg_from > 0:
+        vgg = vgg_loss(vgg_params, pred_image, gt_image, crop_key=jax.random.fold_in(rng, 1))
+        terms["vgg_loss"] = jnp.where(
+            iteration > lw.enable_vgg_from, vgg * lw.vgg_weight, 0.0
+        )
+
+    aux = {
+        "pred_image": pred_image,
+        "gt_image": gt_image,
+        "pred_silhouette": pred_sil,
+        "gt_silhouette": gt_sil,
+        "raster_overflow": aux_rgb.overflow,
+        "psnr": 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.mean((pred_image - gt_image) ** 2) + 1e-12)),
+    }
+    return terms, aux
+
+
+def total_loss(terms: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    return sum(terms.values())
+
+
+def make_train_step(
+    model: AvatarModel,
+    tx: optax.GradientTransformation,
+    max_per_tile: int = 256,
+    detach_silhouette=(),
+    vgg_params=None,
+    loss_weights: LossWeights = LossWeights(),
+    donate: bool = True,
+):
+    """Build the jitted single-device training step.
+
+    step(params, opt_state, batch, rng, iteration) ->
+        (params, opt_state, metrics)
+    """
+
+    def loss_fn(params, batch, rng, iteration):
+        terms, aux = render_frame(
+            params, model, batch, rng,
+            training=True,
+            max_per_tile=max_per_tile,
+            detach_silhouette=detach_silhouette,
+            vgg_params=vgg_params,
+            loss_weights=loss_weights,
+            iteration=iteration,
+        )
+        return total_loss(terms), (terms, aux)
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(params, opt_state, batch, rng, iteration):
+        (loss, (terms, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, iteration
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(terms)
+        metrics["total_loss"] = loss
+        metrics["psnr"] = aux["psnr"]
+        metrics["raster_overflow"] = aux["raster_overflow"]
+        return params, opt_state, metrics
+
+    return step

@@ -1,0 +1,79 @@
+"""Distributed tests on the virtual 8-device CPU mesh: sharded raster
+must match single-device bit-for-bit (same math, same order), and
+gradients must flow through the collectives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_raster import random_scene, simple_camera
+
+from d3ga_tpu.dist.mesh import make_mesh
+from d3ga_tpu.dist.raster_shard import rasterize_sharded
+from d3ga_tpu.raster.tiles import rasterize_tiled
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return make_mesh(data=1, model=4)
+
+
+class TestShardedRaster:
+    def test_matches_single_device(self, mesh4):
+        cam = simple_camera(w=80, h=64)
+        key = jax.random.PRNGKey(0)
+        means, scales, rots, opac, colors = random_scene(key, n=203)  # not divisible by 4
+        bg = jnp.array([0.3, 0.2, 0.1])
+        ref, _ = rasterize_tiled(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac,
+            colors=colors, max_per_tile=256,
+        )
+        img, overflow = rasterize_sharded(
+            mesh4, means, cam, bg, scales=scales, rotations=rots,
+            opacities=opac, colors=colors, max_per_tile=256,
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+
+    def test_gradients_flow_through_collectives(self, mesh4):
+        cam = simple_camera(w=48, h=32)
+        key = jax.random.PRNGKey(1)
+        means, scales, rots, opac, colors = random_scene(key, n=64)
+        bg = jnp.zeros(3)
+
+        def loss_sharded(m):
+            img, _ = rasterize_sharded(
+                mesh4, m, cam, bg, scales=scales, rotations=rots,
+                opacities=opac, colors=colors, max_per_tile=128,
+            )
+            return jnp.sum(img**2)
+
+        def loss_single(m):
+            img, _ = rasterize_tiled(
+                m, cam, bg, scales=scales, rotations=rots, opacities=opac,
+                colors=colors, max_per_tile=128,
+            )
+            return jnp.sum(img**2)
+
+        # NOTE: the sharded path must run under jit — eager shard_map
+        # linearization trips an XLA sharding-override assertion in
+        # jax 0.9 (jit is the production path regardless).
+        g1 = jax.jit(jax.grad(loss_sharded))(means)
+        g2 = jax.grad(loss_single)(means)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+    def test_jit_compiles(self, mesh4):
+        cam = simple_camera(w=32, h=32)
+        means, scales, rots, opac, colors = random_scene(jax.random.PRNGKey(2), n=40)
+
+        @jax.jit
+        def run(m):
+            img, _ = rasterize_sharded(
+                mesh4, m, cam, jnp.zeros(3), scales=scales, rotations=rots,
+                opacities=opac, colors=colors, max_per_tile=64,
+            )
+            return img
+
+        img = run(means)
+        assert img.shape == (3, 32, 32)
+        assert bool(jnp.all(jnp.isfinite(img)))
