@@ -64,17 +64,33 @@ def main():
         )
         return jnp.mean(jnp.abs(img - target))
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
+    # A chained step (params updated from grads, like real training) so
+    # successive iterations have true data dependencies; timed with a
+    # single host readback at the end (block_until_ready through the
+    # axon tunnel is not reliably synchronous).
+    @jax.jit
+    def step(means, cov6, opac, colors):
+        loss, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
+            means, cov6, opac, colors
+        )
+        lr = 1e-9
+        return (
+            means - lr * g[0],
+            cov6 - lr * g[1],
+            opac - lr * g[2],
+            colors - lr * g[3],
+            loss,
+        )
 
     # warmup/compile
-    g = step(means, cov6, opac, colors)
-    jax.block_until_ready(g)
+    m, c6, op, co, loss = step(means, cov6, opac, colors)
+    float(np.asarray(loss))
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        g = step(means, cov6, opac, colors)
-    jax.block_until_ready(g)
+        m, c6, op, co, loss = step(m, c6, op, co)
+    float(np.asarray(loss))  # full sync
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (H * W) / dt / 1e6

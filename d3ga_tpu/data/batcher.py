@@ -1,0 +1,221 @@
+"""Frame batcher: raw dataset samples -> render-ready frame dicts.
+
+Host-side port of `/root/reference/lib/batch.py:49-271`, redesigned for
+TPU consumption: all per-frame preprocessing (color calibration, alpha
+filtering, color-coded silhouette targets, camera-into-body-frame
+transform, principal-point-centered crop math) happens in numpy inside
+data workers, and `stack_frames` pads every frame to one static render
+size so the jitted train step sees uniform shapes (XLA requires static
+shapes; the reference re-renders at a per-frame size instead).
+"""
+
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from d3ga_tpu.data.image_ops import (
+    close_holes,
+    erode_mask,
+    linear2color_corr,
+    median_blur,
+)
+from d3ga_tpu.raster.camera import make_camera
+
+RED = np.array([1.0, 0.0, 0.0], np.float32)
+GREEN = np.array([0.0, 1.0, 0.0], np.float32)
+BLUE = np.array([0.0, 0.0, 1.0], np.float32)
+GRAY = np.array([0.5, 0.5, 0.5], np.float32)
+
+
+def focal2fov(focal, pixels):
+    return 2 * math.atan(pixels / (2 * focal))
+
+
+def crop_params_from_intrinsics(K, W, H):
+    """Principal-point-centered crop/pad geometry
+    (`lib/batch.py:186-198`): the render canvas is the smallest
+    symmetric-about-(cx,cy) rectangle covering the image."""
+    cx = int(math.floor(K[0, 2]))
+    cy = int(math.floor(K[1, 2]))
+    left_w, right_w = cx, W - cx
+    top_h, bottom_h = cy, H - cy
+    w = int(2 * max(left_w, right_w))
+    h = int(2 * max(top_h, bottom_h))
+    crop = np.array([left_w, right_w, top_h, bottom_h, W, H])
+    return crop, w, h
+
+
+class Batcher:
+    """config: dict with keys cages (dict of {label_id}), plus train
+    flags use_gamma_space / erode_mask / close_holes / background."""
+
+    def __init__(self, config: Dict, body_model=None):
+        self.config = config
+        self.body_model = body_model
+        train = config.get("train", {})
+        self.use_gamma_space = train.get("use_gamma_space", False)
+        self.use_erode_mask = train.get("erode_mask", False)
+        self.use_close_holes = train.get("close_holes", False)
+        self.bg_color = str(train.get("background", "white")).lower()
+
+    def calibrate_color(self, image_u8: np.ndarray) -> np.ndarray:
+        """image_u8: [3, H, W] in [0, 255] -> [0,1] calibrated."""
+        img = image_u8.astype(np.float32) / 255.0
+        if self.use_gamma_space:
+            return linear2color_corr(img, dim=0)
+        return img
+
+    def get_silhouette(self, seg_part: np.ndarray) -> np.ndarray:
+        """Color-coded per-garment silhouette target
+        (`lib/batch.py:106-135`). seg_part: [H, W] int labels."""
+        H, W = seg_part.shape
+        sil = np.full((H, W, 3), float(self.bg_color == "white"), np.float32)
+        cages = self.config.get("cages", {})
+
+        def get_mask(labels):
+            mask = np.zeros((H, W), bool)
+            for label in labels:
+                if label != -1:
+                    mask |= seg_part == label
+            return mask
+
+        keys = set(cages.keys())
+        face = get_mask(cages.get("face", {}).get("label_id", [-1]))
+        if keys <= {"body", "face"}:
+            body = (seg_part != 0) & ~face
+        else:
+            upper = get_mask(cages.get("upper", {}).get("label_id", [-1]))
+            lower = get_mask(cages.get("lower", {}).get("label_id", [-1]))
+            body = (seg_part != 0) & ~upper & ~lower & ~face
+            sil[upper] = RED
+            sil[lower] = GREEN
+            sil[face] = GRAY
+        sil[body] = BLUE
+        return sil.transpose(2, 0, 1)
+
+    def process_frame(
+        self,
+        image_u8: np.ndarray,       # [3, H, W] uint8/float 0..255
+        K: np.ndarray,              # [3, 3]
+        Rt: np.ndarray,             # [3or4, 4] world->camera (capture frame)
+        seg_part: np.ndarray,       # [H, W] int part labels
+        lbs: np.ndarray,            # pose params
+        frame_id=0,
+        camera_id="0",
+        order_cam_idx=0,
+        order_frame_idx=0,
+        seg_fg: Optional[np.ndarray] = None,
+        boundary_fg: Optional[np.ndarray] = None,
+        smplx: Optional[Dict] = None,
+        face_kpt: Optional[np.ndarray] = None,
+    ) -> Dict:
+        C, H, W = image_u8.shape
+        fg = (seg_part > 0)
+        if seg_fg is not None:
+            fg = fg | (seg_fg > 0)
+        alpha = median_blur(fg.astype(np.float32), 7)
+        if self.use_erode_mask:
+            alpha = erode_mask(alpha)
+        if self.use_close_holes:
+            alpha = close_holes(alpha)
+
+        calib = self.calibrate_color(image_u8)
+        if self.bg_color == "white":
+            bg_img = calib * fg + (1.0 - fg)
+        else:
+            bg_img = calib * fg
+
+        crop, w, h = crop_params_from_intrinsics(K, W, H)
+        fx, fy = float(K[0, 0]), float(K[1, 1])
+
+        # Camera into body-centric frame (`lib/batch.py:166,200-203`).
+        if self.body_model is not None:
+            pose_in = smplx if smplx is not None else lbs
+            c2w = np.asarray(
+                self.body_model.transform_cameras(pose_in[None], Rt[None])
+            )[0]
+        else:
+            c2w = np.linalg.inv(_to44(Rt))
+        w2c = np.linalg.inv(c2w)
+        R = w2c[:3, :3].T
+        T = w2c[:3, 3]
+
+        frame = {
+            "frame_id": int(frame_id),
+            "camera_id": camera_id,
+            "order_cam_idx": int(order_cam_idx),
+            "order_frame_idx": int(order_frame_idx),
+            "lbs": np.asarray(lbs, np.float32),
+            "R": R,
+            "T": T,
+            "K": np.asarray(K, np.float32),
+            "c2w": c2w,
+            "FoVx": focal2fov(fx, w),
+            "FoVy": focal2fov(fy, h),
+            "width": w,
+            "height": h,
+            "crop": crop,
+            "image": bg_img.astype(np.float32),
+            "orig_image": calib.astype(np.float32),
+            "alpha": alpha.astype(np.float32),
+            "silhouette": self.get_silhouette(seg_part),
+        }
+        if boundary_fg is not None:
+            frame["boundary_fg"] = boundary_fg.astype(np.float32)
+        if smplx is not None:
+            frame["smplx"] = smplx
+        if face_kpt is not None:
+            frame["face_kpt"] = face_kpt.astype(np.float32)
+        return frame
+
+    def make_camera(self, frame):
+        return make_camera(
+            frame["R"], frame["T"], frame["FoVx"], frame["FoVy"],
+            frame["width"], frame["height"],
+        )
+
+
+def _to44(Rt):
+    if Rt.shape[0] == 4:
+        return np.asarray(Rt, np.float64)
+    M = np.eye(4)
+    M[:3] = Rt
+    return M
+
+
+def pad_frame_to(frame: Dict, render_w: int, render_h: int) -> Dict:
+    """Pad a frame's image-space targets so the *render* canvas has the
+    uniform static size (render_w, render_h). The render is produced on
+    the padded canvas and `paste`d (cropped) back; for batched TPU
+    training we instead pad the GT onto the same canvas, aligned the way
+    paste crops (`/root/reference/renderer.py:36-47` inverted)."""
+    crop = frame["crop"]
+    left_w, right_w, top_h, bottom_h, W, H = [int(v) for v in crop]
+    w, h = frame["width"], frame["height"]
+    assert render_w >= w and render_h >= h
+
+    def place(img, fill=0.0):
+        C = img.shape[0]
+        out = np.full((C, render_h, render_w), fill, img.dtype)
+        # paste keeps [:W] when left>right else [-W:]; invert that here.
+        x0 = 0 if left_w > right_w else render_w - W
+        y0 = 0 if top_h > bottom_h else render_h - H
+        out[:, y0 : y0 + H, x0 : x0 + W] = img
+        return out
+
+    out = dict(frame)
+    for key in ("image", "orig_image", "alpha", "silhouette", "boundary_fg"):
+        if key in frame:
+            out[key] = place(frame[key])
+    # mask of真 pixels for loss weighting
+    mask = place(np.ones((1, H, W), np.float32))
+    out["pixel_valid"] = mask
+    out["width"], out["height"] = render_w, render_h
+    out["FoVx"] = 2 * math.atan(
+        render_w / (2 * (frame["width"] / (2 * math.tan(frame["FoVx"] / 2))))
+    )
+    out["FoVy"] = 2 * math.atan(
+        render_h / (2 * (frame["height"] / (2 * math.tan(frame["FoVy"] / 2))))
+    )
+    return out

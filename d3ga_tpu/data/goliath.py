@@ -1,0 +1,209 @@
+"""Goliath capture reader (host-side).
+
+Port of `/root/reference/datasets/goliath_dataset.py:66-535` without the
+torch DataLoader machinery: zip-backed per-frame/per-camera asset loads
+(AVIF images, part/fgbg segmentation PNGs, 104-dof kinematic pose.txt,
+template mesh, skeleton scales, KRT json), frame split CSV, downsample
+ds=4 then x0.5. Emits numpy dicts for the Batcher.
+"""
+
+import json
+import os
+import zipfile
+from functools import lru_cache
+from io import BytesIO
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+CACHE_LENGTH = 160
+
+try:
+    import pillow_avif  # noqa: F401  (registers the AVIF PIL plugin)
+except ImportError:
+    pass
+
+
+def _imread(data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(BytesIO(data))
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        return arr[None]
+    return arr.transpose(2, 0, 1)  # [C, H, W]
+
+
+def load_ply_vertices(data: bytes):
+    """Minimal binary/ascii PLY reader for vertices (+faces if present)."""
+    from d3ga_tpu.utils.ply import load_ply
+
+    mesh = load_ply(data)
+    return mesh["vertices"], mesh.get("faces")
+
+
+class GoliathDataset:
+    """split: 'train' | 'test'; iterate (frame, camera) pairs."""
+
+    def __init__(
+        self,
+        root_path,
+        shared_assets_path=None,
+        split="train",
+        cameras_subset=None,
+        frames_subset=None,
+        regex=None,
+        ds=4,
+    ):
+        self.root_path = Path(root_path)
+        self.shared_assets_path = shared_assets_path
+        self.split = split
+        self.ds = ds
+        self.cameras_subset = set(cameras_subset or {})
+        self.frames_subset = set(map(int, frames_subset or {}))
+        self.cameras = list(self.get_camera_calibration().keys())
+        if regex is not None and not cameras_subset:
+            self.cameras = [c for c in self.cameras if regex in c]
+
+    # -- calibration ---------------------------------------------------------
+
+    @lru_cache(maxsize=1)
+    def get_camera_calibration(self) -> Dict[str, Any]:
+        with open(self.root_path / "camera_calibration.json", "r") as f:
+            krt = json.load(f)["KRT"]
+        params = {str(c["cameraId"]): c for c in krt}
+        image_dir = self.root_path / "image"
+        if image_dir.exists():
+            zips = {p.name.split(".")[0][3:] for p in image_dir.iterdir() if p.is_file()}
+            params = {cid: c for cid, c in params.items() if cid in zips}
+        if self.cameras_subset:
+            params = {cid: c for cid, c in params.items() if cid in self.cameras_subset}
+        return params
+
+    def get_camera_parameters(self, camera: str, ds: Optional[int] = None):
+        """KRT with the reference's downsample-aware intrinsics
+        (`goliath_dataset.py:150-169`)."""
+        ds = ds if ds is not None else self.ds
+        krt = self.get_camera_calibration()[camera]
+        K = np.array(krt["K"], dtype=np.float32).T
+        K[:2, :2] /= ds
+        K[:2, 2] = (K[:2, 2] + 0.5) / ds - 0.5
+        Rt = np.array(krt["T"], dtype=np.float32).T[:3, :4]
+        return {"Rt": Rt, "K": K}
+
+    # -- frame lists ---------------------------------------------------------
+
+    @lru_cache(maxsize=2)
+    def get_frame_list(self) -> List[int]:
+        import csv
+
+        frames = []
+        with open(self.root_path / "frame_splits_list.csv") as f:
+            for row in csv.DictReader(f):
+                if row["split"] == self.split:
+                    frames.append(int(row["frame"]))
+        if self.frames_subset:
+            frames = [f for f in frames if f in self.frames_subset]
+        return frames
+
+    # -- zip-backed assets ---------------------------------------------------
+
+    def _zip_read(self, zip_rel: str, member: str) -> bytes:
+        with zipfile.ZipFile(self.root_path / zip_rel, "r") as zf:
+            with zf.open(member, "r") as fh:
+                return fh.read()
+
+    def load_image(self, frame: int, camera: str) -> np.ndarray:
+        return _imread(
+            self._zip_read(f"image/cam{camera}.zip", f"cam{camera}/{frame:06d}.avif")
+        )
+
+    def load_segmentation_parts(self, frame: int, camera: str) -> np.ndarray:
+        return _imread(
+            self._zip_read(
+                f"segmentation_parts/cam{camera}.zip", f"cam{camera}/{frame:06d}.png"
+            )
+        )
+
+    def load_segmentation_fgbg(self, frame: int, camera: str) -> np.ndarray:
+        return _imread(
+            self._zip_read(
+                f"segmentation_fgbg/cam{camera}.zip", f"cam{camera}/{frame:06d}.png"
+            )
+        )
+
+    @lru_cache(maxsize=CACHE_LENGTH)
+    def load_pose(self, frame: int) -> np.ndarray:
+        data = self._zip_read("kinematic_tracking/pose.zip", f"pose/{frame:06d}.txt")
+        return np.array([float(i) for i in data.decode().splitlines()], np.float32)
+
+    @lru_cache(maxsize=CACHE_LENGTH)
+    def load_3d_keypoints(self, frame: int):
+        data = self._zip_read("keypoints_3d/keypoints_3d.zip", f"{frame:06d}.json")
+        return json.loads(data)
+
+    @lru_cache(maxsize=1)
+    def load_template_mesh(self):
+        with open(self.root_path / "kinematic_tracking" / "template_mesh.ply", "rb") as f:
+            v, _ = load_ply_vertices(f.read())
+        return v
+
+    @lru_cache(maxsize=1)
+    def load_skeleton_scales(self) -> np.ndarray:
+        with open(self.root_path / "kinematic_tracking" / "skeleton_scales.txt") as f:
+            return np.array([float(i) for i in f.read().splitlines()], np.float32)
+
+    @lru_cache(maxsize=1)
+    def load_shared_assets(self) -> Dict[str, Any]:
+        import torch
+
+        return torch.load(
+            self.shared_assets_path, map_location="cpu", weights_only=False
+        )
+
+    # -- sample assembly -----------------------------------------------------
+
+    @staticmethod
+    def _downsample_half(x: np.ndarray) -> np.ndarray:
+        """x0.5 bilinear (`goliath_dataset.py:463-464`) via cv2."""
+        import cv2
+
+        c, h, w = x.shape
+        out = cv2.resize(
+            x.transpose(1, 2, 0).astype(np.float32),
+            (w // 2, h // 2),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        if out.ndim == 2:
+            out = out[..., None]
+        return out.transpose(2, 0, 1)
+
+    def get(self, frame: int, camera: str) -> Optional[Dict[str, Any]]:
+        try:
+            image = self.load_image(frame, camera)
+            seg_part = self.load_segmentation_parts(frame, camera)
+            pose = self.load_pose(frame)
+        except (KeyError, FileNotFoundError, zipfile.BadZipFile):
+            return None
+        seg_fg = (seg_part != 0).astype(np.float32)
+        cam = self.get_camera_parameters(camera)
+        return {
+            "camera_id": camera,
+            "frame_id": frame,
+            "image": self._downsample_half(image.astype(np.float32)),
+            "seg_part": self._downsample_half(seg_part.astype(np.float32)),
+            "seg_fg": self._downsample_half(seg_fg),
+            "boundary_fg": 1.0 - self._downsample_half(seg_fg),
+            "lbs_motion": pose,
+            **cam,
+        }
+
+    def __len__(self):
+        return len(self.get_frame_list()) * len(self.cameras)
+
+    def __getitem__(self, idx):
+        frames = self.get_frame_list()
+        frame = frames[idx // len(self.cameras)]
+        camera = self.cameras[idx % len(self.cameras)]
+        return self.get(frame, camera)

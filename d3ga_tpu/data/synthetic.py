@@ -55,8 +55,10 @@ def subdivided_cube(center, size=1.0, res: int = 1):
                     vid(i + 1, j + 1, k), vid(i, j, k + 1), vid(i + 1, j, k + 1),
                     vid(i, j + 1, k + 1), vid(i + 1, j + 1, k + 1),
                 ]
-                # alternate parity to keep faces conforming
-                base = CUBE_TETS if (i + j + k) % 2 == 0 else CUBE_TETS[:, ::-1]
+                # alternate parity to keep faces conforming (x-mirrored
+                # split on odd cells, same construction as cage_gen)
+                odd = (CUBE_TETS ^ 1)[:, [0, 1, 3, 2]]
+                base = CUBE_TETS if (i + j + k) % 2 == 0 else odd
                 for t in base:
                     tets.append([corner[x] for x in t])
     tets = np.asarray(tets, np.int32)

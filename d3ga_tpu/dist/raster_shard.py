@@ -87,25 +87,30 @@ def rasterize_collective(
     valid = valid & (radius > 0)
     sort_depth = jnp.where(valid, depth, jnp.inf)
     order = jnp.argsort(sort_depth, stable=True)
-    rank_of = jnp.argsort(order, stable=True)
 
-    rects = tile_rect(xy, radius, TILE, n_tiles_x, n_tiles_y)
+    xy_s = xy[order]
+    conic_s = conic[order]
+    color_s = color[order]
+    opac_s = opac[order]
+    radius_s = radius[order]
+    valid_s = valid[order]
+
+    rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
 
     my = jax.lax.axis_index(axis)
     tile_ids = my * tiles_per_shard + jnp.arange(tiles_per_shard, dtype=jnp.int32)
     tile_ids = jnp.minimum(tile_ids, n_tiles - 1)  # clamp padding tiles
 
-    ranks, counts = _select_per_tile(
-        rects, valid, n_tiles_x, n_tiles_y, rank_of, max_per_tile,
-        tile_ids=tile_ids,
+    ranks, counts, block_overflow = _select_per_tile(
+        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile, tile_ids=tile_ids
     )
     sel_valid = ranks < BIG_RANK
     safe = jnp.where(sel_valid, ranks, 0)
 
-    xy_t = xy[order][safe]
-    conic_t = conic[order][safe]
-    color_t = color[order][safe]
-    opac_t = opac[order][safe]
+    xy_t = xy_s[safe]
+    conic_t = conic_s[safe]
+    color_t = color_s[safe]
+    opac_t = opac_s[safe]
 
     origin = jnp.stack(
         [(tile_ids % n_tiles_x) * TILE, (tile_ids // n_tiles_x) * TILE], -1
@@ -134,7 +139,7 @@ def rasterize_collective(
         n_tiles_y * TILE, n_tiles_x * TILE, C + 1
     )[:H, :W]
     image = jnp.transpose(img[..., :C], (2, 0, 1))
-    overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
+    overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow
     return image, overflow
 
 

@@ -40,49 +40,83 @@ class RasterAux(NamedTuple):
 
 
 def _select_per_tile(
-    rects, valid, n_tiles_x, n_tiles_y, rank_of_gaussian, K,
-    tile_chunk=512, tile_ids=None,
+    rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K,
+    tile_ids=None, block=8, block_cap=4096,
 ):
-    """For every tile (or the given tile_ids subset), ranks of the
-    frontmost K overlapping Gaussians.
+    """Two-level tile binning (all inputs in depth-rank order).
 
-    Returns (ranks [T, K] int32 with BIG_RANK padding, counts [T] int32).
+    Per-tile top_k over all N Gaussians is prohibitively slow on TPU
+    (sorting networks scale with N); instead:
+
+      1. coarse: for each block of `block` x `block` tiles, keep the
+         frontmost `block_cap` overlapping Gaussians via one batched
+         top_k over N (few dozen blocks — cheap),
+      2. fine: each tile tests only its block's candidate list (already
+         rank-ascending) and writes the first K hits via a
+         cumsum-position scatter — no second top_k at all.
+
+    rects_sorted: (xmin, xmax, ymin, ymax) [N] in rank order;
+    valid_sorted: [N] bool in rank order.
+    Returns (ranks [T, K] int32 with BIG_RANK padding, counts [T] int32,
+    block_overflow [] int32 — Gaussians dropped past block_cap).
     """
-    xmin, xmax, ymin, ymax = rects
-    n_tiles = n_tiles_x * n_tiles_y if tile_ids is None else tile_ids.shape[0]
-    tile_chunk = min(tile_chunk, max(1, n_tiles))
-    n_pad = -(-n_tiles // tile_chunk) * tile_chunk
+    xmin, xmax, ymin, ymax = rects_sorted
+    n = xmin.shape[0]
+    nbx = -(-n_tiles_x // block)
+    nby = -(-n_tiles_y // block)
+    n_blocks = nbx * nby
+    kb = min(block_cap, n)
 
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    score_src = jnp.where(valid_sorted, ranks, BIG_RANK)
+
+    # --- coarse: block-level candidate lists -------------------------------
+    bids = jnp.arange(n_blocks, dtype=jnp.int32)
+    bx0 = (bids % nbx) * block
+    by0 = (bids // nbx) * block
+    b_overlap = (
+        (bx0[:, None] < xmax[None, :])
+        & (bx0[:, None] + block > xmin[None, :])
+        & (by0[:, None] < ymax[None, :])
+        & (by0[:, None] + block > ymin[None, :])
+    )
+    b_score = jnp.where(b_overlap, score_src[None, :], BIG_RANK)
+    neg_top, _ = jax.lax.top_k(-b_score, kb)
+    block_ranks = -neg_top  # [n_blocks, kb], ascending, BIG_RANK padded
+    block_counts = jnp.sum(
+        (b_overlap & valid_sorted[None, :]).astype(jnp.int32), axis=-1
+    )
+    block_overflow = jnp.sum(jnp.maximum(block_counts - kb, 0))
+
+    # --- fine: per-tile first-K among block candidates ---------------------
     if tile_ids is None:
-        tids = jnp.arange(n_pad, dtype=jnp.int32)
-    else:
-        tids = jnp.pad(tile_ids.astype(jnp.int32), (0, n_pad - n_tiles))
-    txs = tids % n_tiles_x
-    tys = tids // n_tiles_x
+        tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
+    T = tile_ids.shape[0]
+    txs = tile_ids % n_tiles_x
+    tys = tile_ids // n_tiles_x
+    block_of_tile = (tys // block) * nbx + (txs // block)
 
-    score_src = jnp.where(valid, rank_of_gaussian, BIG_RANK)
-
-    def chunk_fn(args):
-        tx, ty = args  # [tile_chunk]
-        overlap = (
-            (tx[:, None] >= xmin[None, :])
-            & (tx[:, None] < xmax[None, :])
-            & (ty[:, None] >= ymin[None, :])
-            & (ty[:, None] < ymax[None, :])
-        )
-        score = jnp.where(overlap, score_src[None, :], BIG_RANK)
-        k_eff = min(K, score.shape[-1])
-        neg_top, _ = jax.lax.top_k(-score, k_eff)  # ascending rank order
-        top = -neg_top
-        if k_eff < K:
-            top = jnp.pad(top, ((0, 0), (0, K - k_eff)), constant_values=BIG_RANK)
-        counts = jnp.sum((overlap & valid[None, :]).astype(jnp.int32), axis=-1)
-        return top, counts
-
-    txs = txs.reshape(-1, tile_chunk)
-    tys = tys.reshape(-1, tile_chunk)
-    ranks, counts = jax.lax.map(chunk_fn, (txs, tys))
-    return ranks.reshape(n_pad, K)[:n_tiles], counts.reshape(n_pad)[:n_tiles]
+    cand = block_ranks[block_of_tile]  # [T, kb] rank-ascending
+    cvalid = cand < BIG_RANK
+    safe = jnp.where(cvalid, cand, 0)
+    overlap = (
+        cvalid
+        & (txs[:, None] >= xmin[safe])
+        & (txs[:, None] < xmax[safe])
+        & (tys[:, None] >= ymin[safe])
+        & (tys[:, None] < ymax[safe])
+    )  # [T, kb]
+    pos = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1
+    keep = overlap & (pos < K)
+    flat = jnp.where(
+        keep,
+        jax.lax.broadcasted_iota(jnp.int32, (T, kb), 0) * K + pos,
+        T * K,
+    )
+    out = jnp.full((T * K,), BIG_RANK, jnp.int32)
+    out = out.at[flat.reshape(-1)].set(cand.reshape(-1), mode="drop")
+    counts = pos[:, -1] + 1
+    return out.reshape(T, K), counts, block_overflow
 
 
 def _blend_tiles(xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, tile_origin, blend_chunk=128):
@@ -182,21 +216,22 @@ def rasterize_tiled(
 
     sort_depth = jnp.where(valid, proj.depth, jnp.inf)
     order = jnp.argsort(sort_depth, stable=True)  # rank -> gaussian id
-    rank_of = jnp.argsort(order, stable=True)     # gaussian id -> rank
 
-    rects = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
-    ranks, counts = _select_per_tile(
-        rects, valid, n_tiles_x, n_tiles_y, rank_of, max_per_tile
-    )
-    sel_valid = ranks < BIG_RANK
-    # Clamp padding ranks to 0 for safe gathers (masked out by sel_valid).
-    safe_ranks = jnp.where(sel_valid, ranks, 0)
-
-    # Depth-sorted record arrays, then per-tile gathers.
+    # Depth-sorted record arrays; selection operates in rank space.
     xy_s = proj.xy[order]
     conic_s = proj.conic[order]
     color_s = proj.color[order]
     opac_s = proj.opacity[order]
+    radius_s = proj.radius[order]
+    valid_s = valid[order]
+
+    rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
+    ranks, counts, block_overflow = _select_per_tile(
+        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile
+    )
+    sel_valid = ranks < BIG_RANK
+    # Clamp padding ranks to 0 for safe gathers (masked out by sel_valid).
+    safe_ranks = jnp.where(sel_valid, ranks, 0)
 
     xy_t = xy_s[safe_ranks]
     conic_t = conic_s[safe_ranks]
@@ -218,7 +253,7 @@ def rasterize_tiled(
     image = jnp.transpose(img[..., :C], (2, 0, 1))
 
     aux = RasterAux(
-        overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)),
+        overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
         max_per_tile=jnp.max(counts),
         n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
     )

@@ -1,0 +1,96 @@
+"""Evaluation CLI: python test.py <config.yml> [iteration]
+
+TPU-native counterpart of `/root/reference/test.py`: restores the
+latest (or requested) checkpoint, renders the held-out split with mean
+embeddings, writes per-frame renders + error heatmaps and the
+`errors_{trajectory}.txt` metric report.
+"""
+
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loguru import logger
+
+from train import build_synthetic, load_config
+
+
+def evaluate(config, iteration=None):
+    from d3ga_tpu.model.avatar import init_avatar
+    from d3ga_tpu.train.checkpoint import restore_checkpoint
+    from d3ga_tpu.train.evaluate import (
+        MetricAccumulator,
+        compute_errors,
+        compute_heatmap,
+        save_image_png,
+    )
+    from d3ga_tpu.train.losses import init_vgg19_features
+    from d3ga_tpu.train.step import LossWeights, render_frame
+
+    tcfg = config.get("train", {})
+    run_dir = tcfg.get("run_dir", "experiments/run")
+    out_dir = os.path.join(run_dir, "test")
+    os.makedirs(out_dir, exist_ok=True)
+
+    dataset_name = config.get("dataset_name", "synthetic")
+    if dataset_name == "synthetic":
+        model, frames = build_synthetic(config)
+    else:
+        from d3ga_tpu.data.capture_builder import build_capture_training
+
+        model, frames = build_capture_training(config, eval=True)
+
+    params = init_avatar(jax.random.PRNGKey(tcfg.get("seed", 17)), model)
+    params, _, step_restored = restore_checkpoint(run_dir, params, None, step=iteration)
+    logger.info(f"Restored checkpoint at step {step_restored}")
+
+    vgg_params = init_vgg19_features(weights_path=tcfg.get("vgg_weights_path"))
+
+    acc = MetricAccumulator()
+    pool = ThreadPoolExecutor(max_workers=8)
+    n_eval = int(config.get("n_eval_frames", 8))
+
+    import functools
+
+    render_jit = jax.jit(
+        functools.partial(
+            render_frame,
+            model=model,
+            training=False,
+            max_per_tile=tcfg.get("max_per_tile", 256),
+            loss_weights=LossWeights(enable_vgg_from=0),
+        ),
+        static_argnames=(),
+    )
+
+    for i in range(n_eval):
+        batch = next(frames)
+        terms, aux = render_frame(
+            params, model, batch, jax.random.PRNGKey(i), training=False,
+            max_per_tile=tcfg.get("max_per_tile", 256),
+        )
+        pred = jnp.clip(aux["pred_image"], 0, 1)
+        gt = jnp.clip(aux["gt_image"], 0, 1)
+        metrics = compute_errors(gt, pred, vgg_params)
+        acc.add(metrics)
+        heat = compute_heatmap(gt, pred)
+        fid = int(batch.get("frame_idx", i))
+        pool.submit(save_image_png, os.path.join(out_dir, f"{fid:06d}_pred.png"), np.asarray(pred))
+        pool.submit(save_image_png, os.path.join(out_dir, f"{fid:06d}_gt.png"), np.asarray(gt))
+        pool.submit(save_image_png, os.path.join(out_dir, f"{fid:06d}_heat.png"), np.asarray(heat))
+        logger.info(f"frame {fid}: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+
+    pool.shutdown(wait=True)
+    mean = acc.write(os.path.join(run_dir, "errors_test.txt"))
+    logger.info(f"mean: {mean}")
+    return mean
+
+
+if __name__ == "__main__":
+    config = load_config(sys.argv[1])
+    it = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    evaluate(config, it)

@@ -1,0 +1,176 @@
+"""Training CLI: python train.py <config.yml>
+
+TPU-native counterpart of `/root/reference/train.py`: loads a YAML
+config, builds the dataset/batcher/avatar, and runs the jitted training
+loop with the reference's loss assembly, checkpoint cadence, NaN guard,
+and progress logging. `dataset_name: synthetic` trains the synthetic
+drivable avatar end-to-end without capture data (used for smoke tests
+and benchmarking); goliath/actorshq use the capture readers.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loguru import logger
+
+
+def load_config(path):
+    from omegaconf import OmegaConf
+
+    cfg = OmegaConf.load(path)
+    return OmegaConf.to_container(cfg, resolve=True)
+
+
+def check_loss(metrics, iteration):
+    """NaN guard (`/root/reference/train.py:64-69`)."""
+    total = float(metrics["total_loss"])
+    if not np.isfinite(total):
+        logger.error(f"iter={iteration}: {metrics}")
+        raise ValueError("loss is NaN")
+
+
+def build_synthetic(config):
+    from d3ga_tpu.data.synthetic import (
+        build_synthetic_avatar,
+        orbit_camera,
+        synthetic_batch,
+    )
+
+    tcfg = config.get("train", {})
+    h = config.get("image_height", 128)
+    w = config.get("image_width", 128)
+    model, skel, lbs_dim = build_synthetic_avatar(
+        n_garments=config.get("n_garments", 2),
+        n_gaussians=config.get("n_gaussians", 512),
+        n_frames=config.get("n_frames", 16),
+        n_cameras=config.get("n_cameras", 4),
+        cage_res=config.get("cage_res", 2),
+        config_overrides={
+            "use_blur": tcfg.get("use_blur", False),
+            "use_color_calib": tcfg.get("use_color_calib", True),
+        },
+    )
+
+    cameras = [
+        orbit_camera(2 * np.pi * i / model.n_cameras, w, h)
+        for i in range(model.n_cameras)
+    ]
+
+    def frame_iter(rng_seed=0):
+        rng = np.random.default_rng(rng_seed)
+        while True:
+            fi = int(rng.integers(model.n_frames))
+            ci = int(rng.integers(model.n_cameras))
+            yield synthetic_batch(
+                cameras[ci], lbs_dim, h, w, frame_idx=fi, camera_idx=ci,
+                key=jax.random.PRNGKey(fi),
+            )
+
+    return model, frame_iter()
+
+
+def training(config):
+    from d3ga_tpu.model.avatar import init_avatar
+    from d3ga_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from d3ga_tpu.train.losses import init_vgg19_features
+    from d3ga_tpu.train.optim import lr_tree_from_config, make_optimizer
+    from d3ga_tpu.train.step import LossWeights, make_train_step
+
+    tcfg = config.get("train", {})
+    run_dir = tcfg.get("run_dir", "experiments/run")
+    os.makedirs(run_dir, exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "checkpoints"), exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "progress"), exist_ok=True)
+
+    dataset_name = config.get("dataset_name", "synthetic")
+    if dataset_name == "synthetic":
+        model, frames = build_synthetic(config)
+    else:
+        model, frames = build_capture(config)
+
+    params = init_avatar(jax.random.PRNGKey(tcfg.get("seed", 17)), model)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"Total number of parameters {n_params}")
+
+    lr_tree = lr_tree_from_config(params, tcfg)
+    sched_cfg = tcfg.get("lr_scheduler", {})
+    tx = make_optimizer(
+        lr_tree,
+        milestones=sched_cfg.get("milestones", [200_000, 350_000, 500_000]),
+        gamma=sched_cfg.get("gamma", 0.33),
+    )
+    opt_state = tx.init(params)
+
+    vgg_params = None
+    if tcfg.get("enable_vgg_from", 0) > 0:
+        vgg_params = init_vgg19_features(
+            weights_path=tcfg.get("vgg_weights_path")
+        )
+
+    lw = LossWeights(
+        rgb_weight=tcfg.get("rgb_weight", 10.0),
+        sil_weight=tcfg.get("sil_weight", 5.0),
+        fme_weight=tcfg.get("fme_weight", 0.0025),
+        vgg_weight=tcfg.get("vgg_weight", 0.05),
+        blur_weight=tcfg.get("blur_weight", 1e-5),
+        lambda_dssim=tcfg.get("lambda_dssim", 0.2),
+        enable_vgg_from=tcfg.get("enable_vgg_from", 60_000),
+    )
+    step = make_train_step(
+        model,
+        tx,
+        max_per_tile=tcfg.get("max_per_tile", 256),
+        detach_silhouette=tuple(config.get("detach_silhouette", ())),
+        vgg_params=vgg_params,
+        loss_weights=lw,
+    )
+
+    params, opt_state, first_iter = restore_checkpoint(run_dir, params, opt_state)
+    iterations = tcfg.get("iterations", 400_000)
+    ckpt_n = tcfg.get("checkpoint_n_steps", 20_000)
+    log_n = tcfg.get("log_n_steps", 50)
+
+    rng = jax.random.PRNGKey(tcfg.get("seed", 17))
+    t_last = time.time()
+    for iteration in range(first_iter + 1, iterations + 1):
+        batch = next(frames)
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, metrics = step(
+            params, opt_state, batch, step_rng, jnp.int32(iteration)
+        )
+
+        if iteration % log_n == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            check_loss(metrics, iteration)
+            dt = (time.time() - t_last) / log_n
+            t_last = time.time()
+            logger.info(
+                f"iter {iteration} | {1.0/dt:.2f} it/s | "
+                + " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
+            )
+
+        if iteration % ckpt_n == 0:
+            save_checkpoint(run_dir, iteration, params, opt_state)
+            logger.info(f"[ITER {iteration}] checkpoint saved")
+
+    save_checkpoint(run_dir, iterations, params, opt_state, name="model")
+    return params
+
+
+def build_capture(config):
+    """Goliath / ActorsHQ data path: dataset reader + batcher + avatar
+    built from capture assets (requires the capture on disk)."""
+    from d3ga_tpu.data.capture_builder import build_capture_training
+
+    return build_capture_training(config)
+
+
+if __name__ == "__main__":
+    config = load_config(sys.argv[1])
+    training(config)
