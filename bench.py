@@ -57,10 +57,14 @@ def main():
     target = jax.random.uniform(jax.random.PRNGKey(1), (3, H, W))
     bg = jnp.zeros(3)
 
+    import os
+
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+
     def loss_fn(means, cov6, opac, colors):
         img, _ = rasterize_tiled(
             means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
-            max_per_tile=MAX_PER_TILE,
+            max_per_tile=MAX_PER_TILE, use_pallas=use_pallas,
         )
         return jnp.mean(jnp.abs(img - target))
 

@@ -1,0 +1,348 @@
+"""Capture-data training assembly: dataset -> cages -> avatar -> frames.
+
+The glue the reference spreads across `train.py:392-440` (loaders),
+`lib/cage_blueman.py` / `lib/cage_smplman.py` (cage construction +
+re-targeted LBS) and `lib/cage.py:85-129` (cage generation): given a
+config pointing at a Goliath or ActorsHQ capture, build
+
+  1. the body driver (GoliathBody momentum skeleton / SmplxBody),
+  2. per-garment tet cages from the star-posed, label-filtered body
+     surface (fully automatic lattice pipeline, cage_gen.generate_cage),
+  3. cage LBS weights copied from the nearest body template vertex
+     (`lib/cage_blueman.py:102-107`) with cage nodes unposed to the
+     template space,
+  4. CageGeometry buffers (surface-sampled Gaussians embedded in tets),
+  5. the AvatarModel + a host-side frame iterator through the Batcher.
+
+Artifacts (cage meshes, face_to_label, sampled init) are cached under
+`config.assets/<capture_id>/` like the reference's `self.src` layout.
+"""
+
+import os
+from typing import Dict, Iterator, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from loguru import logger
+
+
+def _cache(path, builder):
+    if os.path.exists(path):
+        with np.load(path, allow_pickle=False) as z:
+            return dict(z)
+    out = builder()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **out)
+    return out
+
+
+def build_cage_for_garment(
+    name,
+    cage_cfg: Dict,
+    star_verts: np.ndarray,
+    body_faces: np.ndarray,
+    face_to_label: np.ndarray,
+    cache_dir: str,
+    config: Dict,
+):
+    """Label-filter the star-posed surface, run the lattice cage
+    pipeline, sample Gaussians, embed them (`lib/cage.py:85-129,
+    262-337` equivalents)."""
+    from d3ga_tpu.geometry.cage_gen import generate_cage
+    from d3ga_tpu.geometry.sampling import sample_initial_gaussians
+    from d3ga_tpu.model.cage_model import build_cage_geometry
+
+    def build():
+        label_id = cage_cfg.get("label_id", [-1])
+        if label_id and label_id[0] != -1:
+            mask = np.zeros(len(body_faces), bool)
+            for lid in label_id:
+                mask |= face_to_label == lid
+            faces = body_faces[mask]
+        else:
+            faces = body_faces
+        used = np.unique(faces)
+        remap = np.zeros(star_verts.shape[0], np.int64)
+        remap[used] = np.arange(len(used))
+        sub_verts = star_verts[used]
+        sub_faces = remap[faces]
+
+        inflate = float(cage_cfg.get("inflate", 0.0))
+        n_tets = int(cage_cfg.get("n_target_tris", 10_000))  # tets ~ tris budget
+        cage_v, tets, cage_f = generate_cage(
+            sub_verts, sub_faces, n_target_tets=n_tets, inflate=inflate
+        )
+        samples = sample_initial_gaussians(
+            sub_verts.astype(np.float64),
+            sub_faces,
+            int(cage_cfg.get("n_gaussians", 10_000)),
+            seed=int(config.get("train", {}).get("seed", 17)),
+            inflate=inflate,
+        )
+        return {
+            "cage_v": cage_v,
+            "tets": tets,
+            "cage_f": cage_f,
+            "sample_points": samples["points"],
+            "sample_rotations": samples["rotations"],
+        }
+
+    data = _cache(os.path.join(cache_dir, f"cage_{name}.npz"), build)
+    geom = build_cage_geometry(
+        cage_points=data["cage_v"],
+        tetras=data["tets"],
+        triangles=data["cage_f"],
+        sample_points=data["sample_points"],
+        sample_rotations=data["sample_rotations"],
+    )
+    return geom
+
+
+def cage_skin_weights_from_body(
+    cage_points: np.ndarray,
+    body_star_verts: np.ndarray,
+    skin_weights: np.ndarray,
+    skin_indices: np.ndarray,
+):
+    """Nearest-body-vertex skin-weight transfer
+    (`lib/cage_blueman.py:102-107`). Returns (weights, indices, nn_ids)."""
+    try:
+        from d3ga_tpu.native import knn_query_native
+
+        nn = knn_query_native(body_star_verts, cage_points, 1)[:, 0]
+    except Exception:
+        from scipy.spatial import cKDTree
+
+        nn = cKDTree(body_star_verts).query(cage_points)[1]
+    return skin_weights[nn], skin_indices[nn], nn
+
+
+def build_goliath_avatar(config: Dict):
+    """Full Goliath assembly. Requires the capture + shared assets on
+    disk (`config.data.root_path`, `config.data.shared_assets_path`)."""
+    from d3ga_tpu.body.drivers import GoliathBody
+    from d3ga_tpu.body.lbs import MomentumSkeleton, solve_skeleton_states
+    from d3ga_tpu.data.goliath import GoliathDataset
+    from d3ga_tpu.model.avatar import AvatarModel, GarmentSpec
+    from d3ga_tpu.model.cage_model import SILHOUETTE_COLORS
+
+    data_cfg = config["data"]
+    ds = GoliathDataset(
+        root_path=data_cfg["root_path"],
+        shared_assets_path=data_cfg["shared_assets_path"],
+        split="train",
+        regex=config.get("camera_regex", "402"),
+    )
+    assets = ds.load_shared_assets()
+    skeleton = momentum_skeleton_from_assets(assets, ds)
+    body = GoliathBody(
+        skeleton,
+        scales=jnp.asarray(ds.load_skeleton_scales()),
+        global_scaling=float(assets.get("global_scaling", 1.0)),
+    )
+
+    cache_dir = os.path.join(config.get("assets", "assets_cache"), config["capture_id"])
+    star = np.asarray(body.get(body.star_pose()[None]))[0]
+    body_faces = np.asarray(assets["topology"]["vi"]).reshape(-1, 3)
+
+    face_to_label = load_or_build_face_labels(config, ds, body, body_faces, cache_dir)
+
+    garments = []
+    for name, cage_cfg in config.get("cages", {}).items():
+        geom = build_cage_for_garment(
+            name, cage_cfg, star, body_faces, face_to_label, cache_dir, config
+        )
+        w, idx, _ = cage_skin_weights_from_body(
+            np.asarray(geom.cage_points), star,
+            np.asarray(skeleton.skin_weights), np.asarray(skeleton.skin_indices),
+        )
+        cage_skel = skeleton._replace(
+            skin_weights=jnp.asarray(w),
+            skin_indices=jnp.asarray(idx),
+            template_verts=geom.cage_points,
+        )
+
+        def pose_nodes(batch, delta=None, _skel=cage_skel, _body=body):
+            verts = _skel.template_verts
+            if delta is not None:
+                verts = verts + delta
+            # unpose->pose composite handled by driver units
+            return _body.get(
+                batch["lbs"][None], template=verts * 1000.0
+            )[0]
+
+        garments.append(
+            GarmentSpec(
+                name=name,
+                geometry=geom,
+                pose_nodes=pose_nodes,
+                silhouette_color=SILHOUETTE_COLORS.get(
+                    cage_cfg.get("color", "gray"), (0.5, 0.5, 0.5)
+                ),
+                node_scale=float(cage_cfg.get("node_scale", 0.2)),
+            )
+        )
+
+    model = AvatarModel(
+        garments=tuple(garments),
+        cond_dim=98,
+        n_frames=len(ds.get_frame_list()),
+        n_cameras=len(ds.cameras),
+        config=avatar_config_from(config),
+    )
+    return model, ds, body
+
+
+def momentum_skeleton_from_assets(assets, ds) -> "MomentumSkeleton":
+    """Assemble the MomentumSkeleton pytree from the shared-assets bundle
+    (lbs_model_json + lbs_config_dict, `lbsmodel/body_model.py:49-131`)."""
+    from d3ga_tpu.body.lbs import MomentumSkeleton, solve_skeleton_states
+
+    model = assets["lbs_model_json"]
+    cfg = assets["lbs_config_dict"]
+
+    bones = model["Skeleton"]["Bones"]
+    J = len(bones)
+    parents = np.array(
+        [b["Parent"] if b["Parent"] <= J else -1 for b in bones], np.int32
+    )
+    # momentum stores pre-rotations xyzw; convert to wxyz
+    pre = np.array([b["PreRotation"] for b in bones], np.float32)
+    pre_wxyz = pre[:, [3, 0, 1, 2]]
+    offsets = np.array([b["TranslationOffset"] for b in bones], np.float32)
+
+    skin = model["SkinnedModel"]
+    weights_flat = np.array([e[1] for e in skin["SkinningWeights"]], np.float32)
+    indices_flat = np.array([e[0] for e in skin["SkinningWeights"]], np.int64)
+    off = np.array(skin["SkinningOffsets"], np.int64)
+    V = len(off) - 1
+    sw = np.zeros((V, 8), np.float32)
+    si = np.zeros((V, 8), np.int32)
+    for k in range(8):
+        left = off[:-1] + k
+        ok = left < off[1:]
+        sw[ok, k] = weights_flat[left[ok]]
+        si[ok, k] = indices_flat[left[ok]]
+
+    skel = MomentumSkeleton(
+        joint_parents=jnp.asarray(parents),
+        joint_offset=jnp.asarray(offsets),
+        joint_rotation=jnp.asarray(pre_wxyz),
+        transform=jnp.asarray(np.asarray(cfg["transform"], np.float32)),
+        transform_offsets=jnp.asarray(
+            np.asarray(cfg["transform_offsets"], np.float32).reshape(-1)
+        ),
+        skin_weights=jnp.asarray(sw),
+        skin_indices=jnp.asarray(si),
+        bind_state=jnp.zeros((J, 8)),
+        template_verts=jnp.asarray(
+            np.asarray(assets.get("lbs_template_verts"), np.float32)
+        ),
+    )
+    n_params = skel.transform.shape[1]
+    bind = solve_skeleton_states(skel, jnp.zeros((1, n_params)))[0]
+    return skel._replace(bind_state=bind)
+
+
+def load_or_build_face_labels(config, ds, body, body_faces, cache_dir):
+    path = os.path.join(cache_dir, "face_to_label.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    from d3ga_tpu.data.batcher import Batcher
+    from d3ga_tpu.data.segmentation import Segmenter
+
+    seg = Segmenter(len(body_faces))
+    batcher = Batcher(config, body_model=body)
+    frames = ds.get_frame_list()
+    rng = np.random.default_rng(0)
+    picks = rng.choice(len(frames), size=min(64, len(frames)), replace=False)
+    for i in picks:
+        sample = ds.get(frames[i], ds.cameras[int(rng.integers(len(ds.cameras)))])
+        if sample is None:
+            continue
+        frame = batcher.process_frame(
+            sample["image"], sample["K"], sample["Rt"], sample["seg_part"][0],
+            sample["lbs_motion"],
+        )
+        camera = batcher.make_camera(frame)
+        verts = np.asarray(body.get(jnp.asarray(sample["lbs_motion"])[None]))[0]
+        seg.add_frame(verts, body_faces, camera, np.asarray(sample["seg_part"][0]))
+    labels = seg.run(body_faces)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.save(path, labels)
+    return labels
+
+
+def avatar_config_from(config: Dict) -> Dict:
+    tcfg = config.get("train", {})
+    return {
+        "frame_embed_dim": config.get("frame_embedder", {}).get("n_dims", 32),
+        "camera_embed_dim": config.get("camera_embedder", {}).get("n_dims", 0),
+        "n_color_features": config.get("color_mlp", {}).get("n_features", 64),
+        "use_color_calib": tcfg.get("use_color_calib", True),
+        "use_blur": tcfg.get("use_blur", False),
+        "use_pixel_cal": tcfg.get("use_pixel_cal", False),
+        "use_shs": tcfg.get("use_shs", False),
+        "use_ao": tcfg.get("use_ao", False),
+        "max_sh_degree": tcfg.get("max_sh_degree", 3),
+        "tet_offset_pre_lbs": tcfg.get("tet_offset_pre_lbs", True),
+        "use_pose": config.get("color_mlp", {}).get("use_pose", True),
+        "use_view_enc": config.get("color_mlp", {}).get("use_view_enc", True),
+        "deform_mlp": config.get("deform_mlp"),
+        "canon_mlp": config.get("canon_mlp"),
+        "color_mlp": config.get("color_mlp"),
+        "scale_bary": config.get("canon_mlp", {}).get("scale_bary", 0.25),
+        "background": tcfg.get("background", "white"),
+    }
+
+
+def build_capture_training(config: Dict, eval: bool = False):
+    """Returns (model, frame_iterator) for the train/test CLIs."""
+    from d3ga_tpu.data.batcher import Batcher
+
+    name = config["dataset_name"]
+    if name == "goliath":
+        model, ds, body = build_goliath_avatar(config)
+    else:
+        raise NotImplementedError(
+            "actorshq assembly requires SMPL-X model npz assets; "
+            "wire build_smplx_avatar analogously to build_goliath_avatar"
+        )
+
+    batcher = Batcher(config, body_model=body)
+
+    def frame_iter():
+        import jax
+
+        frames = ds.get_frame_list()
+        rng = np.random.default_rng(42)
+        while True:
+            fi = int(rng.integers(len(frames)))
+            ci = int(rng.integers(len(ds.cameras)))
+            sample = ds.get(frames[fi], ds.cameras[ci])
+            if sample is None:
+                continue
+            frame = batcher.process_frame(
+                sample["image"], sample["K"], sample["Rt"],
+                sample["seg_part"][0].astype(np.int32),
+                sample["lbs_motion"],
+                frame_id=fi,
+                camera_id=sample["camera_id"],
+                order_cam_idx=ci,
+                seg_fg=sample.get("seg_fg", [None])[0],
+                boundary_fg=sample.get("boundary_fg"),
+            )
+            camera = batcher.make_camera(frame)
+            yield {
+                "camera": camera,
+                "lbs": jnp.asarray(frame["lbs"]),
+                "frame_idx": jnp.int32(fi),
+                "camera_idx": jnp.int32(ci),
+                "image": jnp.asarray(frame["image"]),
+                "alpha": jnp.asarray(frame["alpha"]),
+                "silhouette": jnp.asarray(frame["silhouette"]),
+                "crop": frame["crop"],
+            }
+
+    return model, frame_iter()

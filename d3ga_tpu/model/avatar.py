@@ -137,6 +137,14 @@ def pkgs_named(pkgs):
     return [(p["__name__"], p) for p in pkgs]
 
 
+def eval_layer(params, model: AvatarModel, batch, names, training=False):
+    """Render only the named garment layers (`garment_net.py:237-248`)."""
+    sub = model._replace(
+        garments=tuple(g for g in model.garments if g.name in names)
+    )
+    return avatar_forward(params, sub, batch, training=training)
+
+
 def avatar_forward(
     params, model: AvatarModel, batch, training: bool = True, geom_override=None
 ):

@@ -67,13 +67,12 @@ def rasterize(
         img = rasterize_oracle(means3d, camera, bg_color, **kwargs)
         return img, None
     elif settings.backend in ("tiled", "pallas"):
-        # "pallas" currently shares the tiled binning; the fused Pallas
-        # blend kernel is selected inside rasterize_tiled when available.
         img, aux = rasterize_tiled(
             means3d,
             camera,
             bg_color,
             max_per_tile=settings.max_per_tile,
+            use_pallas=settings.backend == "pallas",
             **kwargs,
         )
         return img, aux

@@ -1,0 +1,247 @@
+"""Fused Pallas TPU kernel for the per-tile alpha-compositing blend.
+
+The XLA path (`tiles._blend_tiles`) materializes several [T, 256, K]
+intermediates in HBM; this kernel keeps the whole per-tile pipeline in
+VMEM and writes only the [256, C+1] tile output:
+
+  power  = basis[256,6] @ coeffs^T[6,K]          (MXU)
+  alpha  = min(0.99, opac * exp(power)) masked    (VPU)
+  logT   = log1p(-alpha) @ U[K,K]                 (MXU; cumsum-as-matmul)
+  w      = alpha * T_before * [T_after >= 1e-4]   (VPU)
+  rgb    = w @ color[K,C] + T_bg * bg             (MXU)
+
+The backward recomputes the forward per tile (the CUDA rasterizer's
+re-walk strategy, but as matmuls) and produces cotangents for coeffs,
+colors and opacities — no [T, 256, K] residuals ever touch HBM.
+
+Inputs are the per-tile gathered records produced by the shared binning
+stage; `coeffs` are the quadratic-falloff coefficients in tile-local
+pixel coordinates (see tiles._blend_tiles).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 16
+P = TILE * TILE
+ALPHA_SKIP = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+
+def _pixel_basis(dtype=jnp.float32):
+    dy, dx = np.meshgrid(np.arange(TILE), np.arange(TILE), indexing="ij")
+    dx = dx.reshape(-1).astype(np.float32)
+    dy = dy.reshape(-1).astype(np.float32)
+    basis = np.stack(
+        [np.ones_like(dx), dx, dy, dx * dx, dy * dy, dx * dy], axis=-1
+    )  # [256, 6]
+    # pad the 6 coeff channels to a 128-lane friendly 8
+    return jnp.asarray(np.pad(basis, ((0, 0), (0, 2))), dtype)
+
+
+def _tri(K, dtype=jnp.float32):
+    return jnp.asarray(np.triu(np.ones((K, K), np.float32)), dtype)
+
+
+def _forward_body(coeff_ref, color_ref, opac_ref, basis_ref, tri_ref, out_ref):
+    power = jax.lax.dot_general(
+        basis_ref[0], coeff_ref[0],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [256, K]
+    opac = opac_ref[0]  # [1, K] broadcast row? stored [1, K]
+    alpha = jnp.minimum(ALPHA_MAX, opac * jnp.exp(power))
+    use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+    alpha = jnp.where(use, alpha, 0.0)
+    lg = jnp.log1p(-alpha)
+    cum = jax.lax.dot_general(
+        lg, tri_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [256, K] inclusive log-transmittance
+    t_after = jnp.exp(cum)
+    accept = t_after >= T_EPS
+    w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
+    t_bg = jnp.exp(jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True))
+    rgb = jax.lax.dot_general(
+        w, color_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [256, C]
+    out_ref[0] = jnp.concatenate([rgb, t_bg], axis=-1)
+
+
+def _backward_body(
+    coeff_ref, color_ref, opac_ref, basis_ref, tri_ref, g_ref,
+    dcoeff_ref, dcolor_ref, dopac_ref,
+):
+    # --- recompute forward ---
+    basis = basis_ref[0]
+    coeffs = coeff_ref[0]
+    color = color_ref[0]
+    opac = opac_ref[0]
+    power = jax.lax.dot_general(
+        basis, coeffs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    raw = opac * jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+    alpha = jnp.where(use, alpha, 0.0)
+    lg = jnp.log1p(-alpha)
+    tri = tri_ref[...]
+    cum = jax.lax.dot_general(
+        lg, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    t_after = jnp.exp(cum)
+    accept = t_after >= T_EPS
+    t_before = jnp.exp(cum - lg)
+    w = jnp.where(accept, alpha * t_before, 0.0)
+    sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+    t_bg = jnp.exp(sum_lg)
+
+    # --- cotangents ---
+    g = g_ref[0]                     # [256, C+1]
+    g_rgb = g[:, :-1]                # [256, C]
+    g_tbg = g[:, -1:]                # [256, 1]
+
+    # rgb = w @ color
+    dw = jax.lax.dot_general(
+        g_rgb, color, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [256, K]
+    dcolor_ref[0] = jax.lax.dot_general(
+        w, g_rgb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, C]
+
+    # w = accept * alpha * exp(s), s = cum - lg
+    ds = dw * w                         # dL/ds
+    dalpha = jnp.where(accept, dw * t_before, 0.0)
+    # t_bg = exp(sum_k accept*lg)
+    dsum = g_tbg * t_bg                 # [256, 1]
+    # dL/dcum = ds ; dL/dlg direct = -ds + accept*dsum
+    dcum = ds
+    dlg = jax.lax.dot_general(
+        dcum, tri, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # dcum @ U^T
+    dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
+    dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
+
+    live = use & (raw < ALPHA_MAX)
+    dalpha = jnp.where(live, dalpha, 0.0)
+    dpower = dalpha * raw               # d/dpower of opac*exp(power)
+    dopac_ref[0] = jnp.sum(
+        jnp.where(live, dalpha, 0.0) * jnp.exp(power), axis=0, keepdims=True
+    )
+    dcoeff_ref[0] = jax.lax.dot_general(
+        dpower, basis, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, 8]
+
+
+def _run_forward(coeffs, colors, opacs, interpret=False):
+    T, K, _ = coeffs.shape
+    C = colors.shape[-1]
+    basis = _pixel_basis()
+    tri = _tri(K)
+    grid = (T,)
+    return pl.pallas_call(
+        _forward_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, K, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, P, 8), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, K), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, C + 1), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, P, C + 1), jnp.float32),
+        interpret=interpret,
+    )(coeffs, colors, opacs, basis[None], tri)
+
+
+def _run_backward(coeffs, colors, opacs, g, interpret=False):
+    T, K, _ = coeffs.shape
+    C = colors.shape[-1]
+    basis = _pixel_basis()
+    tri = _tri(K)
+    return pl.pallas_call(
+        _backward_body,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, K, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, P, 8), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, P, C + 1), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, K, 8), jnp.float32),
+            jax.ShapeDtypeStruct((T, K, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(coeffs, colors, opacs, basis[None], tri, g)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def blend_tiles_pallas(coeffs, colors, opacs, interpret=False):
+    """coeffs: [T, K, 8] quadratic falloff coeffs (6 used + 2 pad);
+    colors: [T, K, C]; opacs: [T, 1, K].
+    Returns [T, 256, C+1] (last channel = T_bg; caller composites bg)."""
+    return _run_forward(coeffs, colors, opacs, interpret)
+
+
+def _fwd(coeffs, colors, opacs, interpret):
+    out = _run_forward(coeffs, colors, opacs, interpret)
+    return out, (coeffs, colors, opacs)
+
+
+def _bwd(interpret, res, g):
+    coeffs, colors, opacs = res
+    dcoeffs, dcolors, dopacs = _run_backward(coeffs, colors, opacs, g, interpret)
+    return dcoeffs, dcolors, dopacs
+
+
+blend_tiles_pallas.defvjp(_fwd, _bwd)
+
+
+def falloff_coeffs(xy_local, conic):
+    """Per-record quadratic coefficients in tile-local pixel coords.
+
+    xy_local: [..., 2] Gaussian center minus tile origin; conic: [..., 3].
+    Returns [..., 8] (6 coeffs + 2 zero pad)."""
+    A = conic[..., 0]
+    B = conic[..., 1]
+    C = conic[..., 2]
+    x = xy_local[..., 0]
+    y = xy_local[..., 1]
+    z = jnp.zeros_like(A)
+    return jnp.stack(
+        [
+            -0.5 * (A * x * x + C * y * y) - B * x * y,
+            A * x + B * y,
+            C * y + B * x,
+            -0.5 * A,
+            -0.5 * C,
+            -B,
+            z,
+            z,
+        ],
+        axis=-1,
+    )

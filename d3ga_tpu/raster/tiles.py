@@ -22,14 +22,15 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from d3ga_tpu.raster.camera import Camera
-from d3ga_tpu.raster.oracle import blend_weights
 from d3ga_tpu.raster.project import project_gaussians, tile_rect
 
 TILE = 16
 ALPHA_SKIP = 1.0 / 255.0
 ALPHA_MAX = 0.99
+T_EPS = 1e-4
 BIG_RANK = jnp.int32(2**30)
 
 
@@ -46,14 +47,15 @@ def _select_per_tile(
     """Two-level tile binning (all inputs in depth-rank order).
 
     Per-tile top_k over all N Gaussians is prohibitively slow on TPU
-    (sorting networks scale with N); instead:
+    (sorting networks scale with N); instead both levels use
+    first-K-set-bits selection (cumsum positions + scatter — no sorting
+    at all, entries are already rank-ascending):
 
-      1. coarse: for each block of `block` x `block` tiles, keep the
-         frontmost `block_cap` overlapping Gaussians via one batched
-         top_k over N (few dozen blocks — cheap),
-      2. fine: each tile tests only its block's candidate list (already
-         rank-ascending) and writes the first K hits via a
-         cumsum-position scatter — no second top_k at all.
+      1. coarse: for each block of `block` x `block` tiles, scatter the
+         ranks of the first `block_cap` overlapping Gaussians,
+      2. fine: each tile tests only its block's candidate list; the four
+         tile-rect bounds are packed into ONE int32 so the fine stage
+         does a single random gather instead of four.
 
     rects_sorted: (xmin, xmax, ymin, ymax) [N] in rank order;
     valid_sorted: [N] bool in rank order.
@@ -68,27 +70,32 @@ def _select_per_tile(
     kb = min(block_cap, n)
 
     ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    score_src = jnp.where(valid_sorted, ranks, BIG_RANK)
+    # Pack the rect into one int32 (tile grids are < 256 on a side).
+    packed = xmin | (xmax << 8) | (ymin << 16) | (ymax << 24)
 
-    # --- coarse: block-level candidate lists -------------------------------
+    # --- coarse: block-level candidate lists (batched top_k) ---------------
+    # top_k over the few dozen blocks is cheap; it returns the frontmost
+    # kb ranks per block in ascending order (entries are already ranks).
     bids = jnp.arange(n_blocks, dtype=jnp.int32)
     bx0 = (bids % nbx) * block
     by0 = (bids // nbx) * block
     b_overlap = (
-        (bx0[:, None] < xmax[None, :])
+        valid_sorted[None, :]
+        & (bx0[:, None] < xmax[None, :])
         & (bx0[:, None] + block > xmin[None, :])
         & (by0[:, None] < ymax[None, :])
         & (by0[:, None] + block > ymin[None, :])
     )
-    b_score = jnp.where(b_overlap, score_src[None, :], BIG_RANK)
-    neg_top, _ = jax.lax.top_k(-b_score, kb)
-    block_ranks = -neg_top  # [n_blocks, kb], ascending, BIG_RANK padded
-    block_counts = jnp.sum(
-        (b_overlap & valid_sorted[None, :]).astype(jnp.int32), axis=-1
-    )
+    b_score = jnp.where(b_overlap, ranks[None, :], BIG_RANK)
+    block_ranks = -jax.lax.top_k(-b_score, kb)[0]  # [n_blocks, kb] ascending
+    block_counts = jnp.sum(b_overlap.astype(jnp.int32), axis=-1)
     block_overflow = jnp.sum(jnp.maximum(block_counts - kb, 0))
 
     # --- fine: per-tile first-K among block candidates ---------------------
+    # Block-major layout: the candidate records (rank + packed rect) are
+    # gathered ONCE per block (row gathers), then every tile of the
+    # block tests them with pure VPU compares — no per-tile random
+    # gathers.
     if tile_ids is None:
         tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
     T = tile_ids.shape[0]
@@ -96,27 +103,40 @@ def _select_per_tile(
     tys = tile_ids // n_tiles_x
     block_of_tile = (tys // block) * nbx + (txs // block)
 
-    cand = block_ranks[block_of_tile]  # [T, kb] rank-ascending
+    cvalid_b = block_ranks < BIG_RANK            # [n_blocks, kb]
+    safe_b = jnp.where(cvalid_b, block_ranks, 0)
+    packed_b = jnp.where(cvalid_b, packed[safe_b], 0)  # [n_blocks, kb]
+
+    cand = block_ranks[block_of_tile]            # [T, kb] row gathers
+    cpacked = packed_b[block_of_tile]            # [T, kb] row gathers
     cvalid = cand < BIG_RANK
-    safe = jnp.where(cvalid, cand, 0)
+    cxmin = cpacked & 0xFF
+    cxmax = (cpacked >> 8) & 0xFF
+    cymin = (cpacked >> 16) & 0xFF
+    cymax = (cpacked >> 24) & 0xFF
     overlap = (
         cvalid
-        & (txs[:, None] >= xmin[safe])
-        & (txs[:, None] < xmax[safe])
-        & (tys[:, None] >= ymin[safe])
-        & (tys[:, None] < ymax[safe])
+        & (txs[:, None] >= cxmin)
+        & (txs[:, None] < cxmax)
+        & (tys[:, None] >= cymin)
+        & (tys[:, None] < cymax)
     )  # [T, kb]
-    pos = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1
-    keep = overlap & (pos < K)
-    flat = jnp.where(
-        keep,
-        jax.lax.broadcasted_iota(jnp.int32, (T, kb), 0) * K + pos,
-        T * K,
+    # Compaction via batched top_k over the candidate POSITION (the list
+    # is rank-ascending, so the first K overlapping positions are the
+    # frontmost K Gaussians) — avoids a slow 11M-element scatter.
+    j = jax.lax.broadcasted_iota(jnp.int32, (T, kb), 1)
+    key = jnp.where(overlap, j, kb)
+    first_k = -jax.lax.top_k(-key, min(K, kb))[0]  # [T, K] ascending positions
+    hit = first_k < kb
+    out = jnp.where(
+        hit,
+        jnp.take_along_axis(cand, jnp.where(hit, first_k, 0), axis=1),
+        BIG_RANK,
     )
-    out = jnp.full((T * K,), BIG_RANK, jnp.int32)
-    out = out.at[flat.reshape(-1)].set(cand.reshape(-1), mode="drop")
-    counts = pos[:, -1] + 1
-    return out.reshape(T, K), counts, block_overflow
+    if K > kb:
+        out = jnp.pad(out, ((0, 0), (0, K - kb)), constant_values=BIG_RANK)
+    counts = jnp.sum(overlap.astype(jnp.int32), axis=1)
+    return out, counts, block_overflow
 
 
 def _blend_tiles(xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, tile_origin, blend_chunk=128):
@@ -143,24 +163,70 @@ def _blend_tiles(xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, tile_origi
     )
     sel_valid = jnp.pad(sel_valid, [(0, pad), (0, 0)])
 
+    K = xy_t.shape[1]
+    # Upper-triangular ones: cumsum along K expressed as a single MXU
+    # matmul (fp32-exact precision) instead of a log2(K)-pass
+    # associative scan — the transmittance recurrence becomes
+    #   log T_after = log1p(-alpha) @ U.
+    U_incl = jnp.asarray(
+        np.triu(np.ones((K, K), np.float32), k=0), dtype
+    )
+
+    # Quadratic pixel basis [256, 6]: (1, dx, dy, dx^2, dy^2, dx*dy) in
+    # tile-LOCAL coordinates, so the Gaussian falloff power is one
+    # [256, 6] x [6, K] MXU matmul per tile instead of materializing the
+    # [256, K, 2] displacement tensor on the VPU.
+    dxl = local[:, 0]
+    dyl = local[:, 1]
+    basis = jnp.stack(
+        [jnp.ones_like(dxl), dxl, dyl, dxl * dxl, dyl * dyl, dxl * dyl], axis=-1
+    )  # [256, 6]
+
     def chunk_fn(args):
         xy, conic, color, opac, sval, origin = args
-        # pixel coords [B, 256, 2]
-        pix = origin[:, None, :].astype(dtype) + local[None]
-        d = xy[:, None, :, :] - pix[:, :, None, :]  # [B, 256, K, 2]
-        power = (
-            -0.5
-            * (
-                conic[:, None, :, 0] * d[..., 0] * d[..., 0]
-                + conic[:, None, :, 2] * d[..., 1] * d[..., 1]
-            )
-            - conic[:, None, :, 1] * d[..., 0] * d[..., 1]
+        B = xy.shape[0]
+        # Gaussian centers in tile-local coords [B, K, 2]
+        d0 = xy - origin[:, None, :].astype(dtype)
+        A = conic[..., 0]
+        Bc = conic[..., 1]
+        C2 = conic[..., 2]
+        d0x = d0[..., 0]
+        d0y = d0[..., 1]
+        # power(dx,dy) = -(1/2)(A(dx-d0x)^2 + C(dy-d0y)^2) - B(dx-d0x)(dy-d0y)
+        coeffs = jnp.stack(
+            [
+                -0.5 * (A * d0x * d0x + C2 * d0y * d0y) - Bc * d0x * d0y,
+                A * d0x + Bc * d0y,
+                C2 * d0y + Bc * d0x,
+                -0.5 * A,
+                -0.5 * C2,
+                -Bc,
+            ],
+            axis=-1,
+        )  # [B, K, 6]
+        power = jnp.einsum(
+            "pc,bkc->bpk", basis, coeffs, precision=jax.lax.Precision.HIGHEST
         )  # [B, 256, K]
         alpha = jnp.minimum(ALPHA_MAX, opac[:, None, :] * jnp.exp(power))
         use = sval[:, None, :] & (power <= 0.0) & (alpha >= ALPHA_SKIP)
         alpha = jnp.where(use, alpha, 0.0)
-        w, t_bg = blend_weights(alpha)  # [B, 256, K], [B, 256]
-        rgb = jnp.einsum("bpk,bkc->bpc", w, color) + t_bg[..., None] * bg_color
+
+        lg = jnp.log1p(-alpha)  # [B, 256, K], <= 0
+        cum_incl = jax.lax.dot_general(
+            lg.reshape(B * lg.shape[1], K), U_incl,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).reshape(lg.shape)
+        t_after = jnp.exp(cum_incl)
+        t_before = jnp.exp(cum_incl - lg)
+        accept = t_after >= T_EPS
+        w = jnp.where(accept, t_before * alpha, 0.0)
+        t_bg = jnp.exp(jnp.sum(jnp.where(accept, lg, 0.0), axis=-1))
+        rgb = jnp.einsum(
+            "bpk,bkc->bpc", w, color, precision=jax.lax.Precision.HIGHEST
+        )
+        rgb = rgb + t_bg[..., None] * bg_color
         return jnp.concatenate([rgb, 1.0 - t_bg[..., None]], axis=-1)
 
     out = jax.lax.map(
@@ -192,6 +258,8 @@ def rasterize_tiled(
     antialiasing: bool = False,
     max_per_tile: int = 256,
     return_alpha: bool = False,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Render [C, H, W] (+ optional alpha [H, W]) with aux counters."""
     H, W = camera.height, camera.width
@@ -241,9 +309,19 @@ def rasterize_tiled(
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     tile_origin = jnp.stack([(tids % n_tiles_x) * TILE, (tids // n_tiles_x) * TILE], -1)
 
-    tiles = _blend_tiles(
-        xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, tile_origin
-    )  # [T, 256, C+1]
+    if use_pallas:
+        from d3ga_tpu.raster.pallas_blend import blend_tiles_pallas, falloff_coeffs
+
+        xy_local = xy_t - tile_origin[:, None, :].astype(xy_t.dtype)
+        coeffs = falloff_coeffs(xy_local, conic_t)
+        opac_in = jnp.where(sel_valid, opac_t, 0.0)[:, None, :]  # [T, 1, K]
+        out = blend_tiles_pallas(coeffs, color_t, opac_in, pallas_interpret)
+        rgb = out[..., :-1] + out[..., -1:] * bg_color
+        tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
+    else:
+        tiles = _blend_tiles(
+            xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, tile_origin
+        )  # [T, 256, C+1]
 
     C = tiles.shape[-1] - 1
     img = tiles.reshape(n_tiles_y, n_tiles_x, TILE, TILE, C + 1)

@@ -1,0 +1,137 @@
+import numpy as np
+import pytest
+
+from d3ga_tpu.data.batcher import Batcher, crop_params_from_intrinsics, pad_frame_to
+from d3ga_tpu.data.image_ops import (
+    close_holes,
+    erode_mask,
+    linear2color_corr,
+    linear2color_corr_inv,
+    median_blur,
+)
+from d3ga_tpu.raster.api import paste
+from d3ga_tpu.utils.ply import load_ply, save_ply
+
+
+class TestImageOps:
+    def test_color_corr_roundtrip(self):
+        img = np.random.RandomState(0).rand(3, 8, 8).astype(np.float32) * 0.8 + 0.1
+        corr = linear2color_corr(img, dim=0)
+        back = linear2color_corr_inv(corr, dim=0)
+        np.testing.assert_allclose(back, img, atol=2e-2)
+
+    def test_median_blur_removes_salt(self):
+        m = np.zeros((32, 32), np.float32)
+        m[10:20, 10:20] = 1.0
+        m[5, 5] = 1.0  # salt speck
+        out = median_blur(m, 7)
+        assert out[5, 5] == 0.0
+        assert out[15, 15] == 1.0
+
+    def test_morphology(self):
+        m = np.zeros((32, 32), np.float32)
+        m[8:24, 8:24] = 1.0
+        assert erode_mask(m).sum() < m.sum()
+        holey = m.copy()
+        holey[15:17, 15:17] = 0.0
+        assert close_holes(holey)[15, 15] == 1.0
+
+
+class TestBatcher:
+    def _config(self):
+        return {
+            "train": {"use_gamma_space": False, "background": "white"},
+            "cages": {
+                "body": {"label_id": [-1]},
+                "upper": {"label_id": [2]},
+                "lower": {"label_id": [3]},
+            },
+        }
+
+    def test_crop_math(self):
+        K = np.array([[500.0, 0, 200], [0, 500, 300], [0, 0, 1]])
+        crop, w, h = crop_params_from_intrinsics(K, 640, 480)
+        # cx=200 -> left=200, right=440 -> w = 880; cy=300 -> top=300,
+        # bottom=180 -> h = 600
+        assert (w, h) == (880, 600)
+        np.testing.assert_array_equal(crop, [200, 440, 300, 180, 640, 480])
+
+    def test_process_frame_and_silhouette(self):
+        cfg = self._config()
+        b = Batcher(cfg)
+        H, W = 64, 48
+        img = np.random.RandomState(0).randint(0, 255, (3, H, W)).astype(np.float32)
+        seg = np.zeros((H, W), np.int32)
+        seg[10:30, 10:30] = 2   # upper -> red
+        seg[35:50, 10:30] = 3   # lower -> green
+        seg[30:35, 10:30] = 9   # other -> body/blue
+        K = np.array([[100.0, 0, W / 2], [0, 100, H / 2], [0, 0, 1]])
+        Rt = np.eye(4)[:3]
+        frame = b.process_frame(img, K, Rt, seg, np.zeros(104), camera_id="c0")
+        sil = frame["silhouette"]
+        np.testing.assert_allclose(sil[:, 15, 15], [1, 0, 0], atol=1e-6)  # red
+        np.testing.assert_allclose(sil[:, 40, 15], [0, 1, 0], atol=1e-6)  # green
+        np.testing.assert_allclose(sil[:, 32, 15], [0, 0, 1], atol=1e-6)  # blue
+        np.testing.assert_allclose(sil[:, 5, 5], [1, 1, 1], atol=1e-6)    # bg white
+        assert frame["alpha"].shape == (1, H, W)
+        assert frame["width"] % 2 == 0
+
+    def test_pad_frame_then_paste_roundtrip(self):
+        cfg = self._config()
+        b = Batcher(cfg)
+        H, W = 40, 32
+        img = np.random.RandomState(1).rand(3, H, W).astype(np.float32) * 255
+        seg = np.ones((H, W), np.int32)
+        K = np.array([[50.0, 0, 10], [0, 50, 25], [0, 0, 1]])  # off-center pp
+        frame = b.process_frame(img, K, np.eye(4)[:3], seg, np.zeros(104))
+        padded = pad_frame_to(frame, frame["width"], frame["height"])
+        # paste must crop the padded canvas back to the original image
+        rec = paste(padded["image"], frame["crop"])
+        np.testing.assert_allclose(np.asarray(rec), frame["image"], atol=1e-6)
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        v = rng.randn(20, 3).astype(np.float32)
+        f = rng.randint(0, 20, (12, 3)).astype(np.int32)
+        c = rng.randint(0, 255, (20, 3)).astype(np.uint8)
+        p = str(tmp_path / "test.ply")
+        save_ply(p, v, faces=f, colors=c)
+        mesh = load_ply(p)
+        np.testing.assert_allclose(mesh["vertices"], v, atol=1e-6)
+        np.testing.assert_array_equal(mesh["faces"], f)
+        np.testing.assert_array_equal(mesh["colors"], c)
+
+    def test_reads_reference_asset(self):
+        mesh = load_ply("/root/reference/assets/simplified.ply")
+        assert mesh["vertices"].shape[1] == 3
+        assert mesh["vertices"].shape[0] > 1000
+        assert "faces" in mesh
+
+
+class TestSegmentation:
+    def test_face_id_raster_and_vote(self):
+        from d3ga_tpu.data.segmentation import Segmenter
+        from d3ga_tpu.raster.camera import make_camera, focal2fov
+
+        # two quads at different depths, left half labeled 1, right 2
+        verts = np.array(
+            [
+                [-1, -1, 4], [0, -1, 4], [0, 1, 4], [-1, 1, 4],  # left
+                [0, -1, 4], [1, -1, 4], [1, 1, 4], [0, 1, 4],    # right
+            ],
+            np.float32,
+        )
+        faces = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
+        cam = make_camera(
+            np.eye(3), np.zeros(3), focal2fov(32.0, 64), focal2fov(32.0, 64), 64, 64
+        )
+        seg_part = np.zeros((64, 64), np.int32)
+        seg_part[:, :32] = 1
+        seg_part[:, 32:] = 2
+        s = Segmenter(len(faces))
+        s.add_frame(verts, faces, cam, seg_part)
+        labels = s.run(faces)
+        assert labels[0] == 1 and labels[1] == 1
+        assert labels[2] == 2 and labels[3] == 2
