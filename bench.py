@@ -68,12 +68,16 @@ def main():
         )
         return jnp.mean(jnp.abs(img - target))
 
-    # A chained step (params updated from grads, like real training) so
-    # successive iterations have true data dependencies; timed with a
-    # single host readback at the end (block_until_ready through the
-    # axon tunnel is not reliably synchronous).
-    @jax.jit
-    def step(means, cov6, opac, colors):
+    # Chained steps (params updated from grads, true data dependencies)
+    # run inside ONE device dispatch via lax.fori_loop: measures
+    # sustained device throughput. (block_until_ready through the axon
+    # tunnel is not reliably synchronous and per-dispatch RTT is tens of
+    # ms, so host-side loops under-report badly; a production training
+    # loop amortizes dispatch the same way.)
+    iters = 20
+
+    def one_step(_, carry):
+        means, cov6, opac, colors, _ = carry
         loss, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
             means, cov6, opac, colors
         )
@@ -86,14 +90,16 @@ def main():
             loss,
         )
 
-    # warmup/compile
-    m, c6, op, co, loss = step(means, cov6, opac, colors)
-    float(np.asarray(loss))
+    @jax.jit
+    def run(means, cov6, opac, colors):
+        init = (means, cov6, opac, colors, jnp.float32(0))
+        return jax.lax.fori_loop(0, iters, one_step, init)[-1]
 
-    iters = 20
+    # warmup/compile
+    float(np.asarray(run(means, cov6, opac, colors)))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        m, c6, op, co, loss = step(m, c6, op, co)
+    loss = run(means, cov6, opac, colors)
     float(np.asarray(loss))  # full sync
     dt = (time.perf_counter() - t0) / iters
 

@@ -114,6 +114,23 @@ class GoliathBody:
         geom = jnp.einsum("bij,bvj->bvi", RT[:, :3, :3], geom) + RT[:, None, :3, 3]
         return geom + self.center_mass
 
+    def canonical_kpt(self, motion, kpt, nose_vertex: int = 81545):
+        """Face keypoints -> canonical head space via the inverse of the
+        nose vertex's blended skinning transform
+        (`blueman.py:123-139`). motion: [B, P]; kpt: [B, Nk, 3] (mm).
+        Returns (canon_kpt [B, Nk, 3], head_t [B, 3], head_R [B, 3, 3])."""
+        from d3ga_tpu.body.lbs import per_vertex_transforms
+
+        params = self._params(motion)
+        R_all, t_all = per_vertex_transforms(self.skeleton, params)
+        rot = R_all[:, nose_vertex]          # [B, 3, 3]
+        ht = t_all[:, nose_vertex]           # [B, 3]
+        hr = jnp.linalg.inv(rot)
+        canon = jnp.einsum(
+            "bxy,bvy->bvx", hr, kpt / self.global_scaling - ht[:, None]
+        )
+        return canon, ht, rot
+
     def transform_cameras(self, motion, Rt):
         """World->capture-camera [B, 3or4, 4] (mm translations) ->
         camera-to-world in the body frame (`blueman.py:170-190`)."""

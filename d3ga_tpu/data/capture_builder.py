@@ -297,6 +297,183 @@ def avatar_config_from(config: Dict) -> Dict:
     }
 
 
+def load_smplx_model(npz_path: str):
+    """Standard SMPL-X npz -> SmplxModel pytree (replaces
+    tetra_sampler.body_model.SMPLlayer asset loading,
+    `/root/reference/lib/smplman.py:67-74`)."""
+    from d3ga_tpu.body.smplx import SmplxModel
+
+    data = np.load(npz_path, allow_pickle=True)
+
+    def get(k, default=None):
+        return np.asarray(data[k]) if k in data else default
+
+    parents = get("kintree_table")
+    if parents is not None:
+        parents = parents[0].astype(np.int64)
+        parents[0] = -1
+    weights = get("weights").astype(np.float32)
+    posedirs = get("posedirs")
+    if posedirs is not None and posedirs.ndim == 2:  # [V*3, P] variant
+        posedirs = posedirs.T.reshape(-1, weights.shape[0], 3).transpose(1, 2, 0)
+    jreg = get("J_regressor").astype(np.float32)
+    hc_l = get("hands_componentsl")
+    hc_r = get("hands_componentsr")
+    return SmplxModel(
+        v_template=jnp.asarray(get("v_template"), jnp.float32),
+        shapedirs=jnp.asarray(get("shapedirs"), jnp.float32),
+        posedirs=jnp.asarray(posedirs, jnp.float32)
+        if posedirs is not None
+        else jnp.zeros((weights.shape[0], 3, 0)),
+        j_regressor=jnp.asarray(jreg),
+        parents=jnp.asarray(parents, jnp.int32),
+        weights=jnp.asarray(weights),
+        hand_components_l=None if hc_l is None else jnp.asarray(hc_l[:6], jnp.float32),
+        hand_components_r=None if hc_r is None else jnp.asarray(hc_r[:6], jnp.float32),
+        hand_mean_l=None if "hands_meanl" not in data else jnp.asarray(data["hands_meanl"], jnp.float32),
+        hand_mean_r=None if "hands_meanr" not in data else jnp.asarray(data["hands_meanr"], jnp.float32),
+        faces=jnp.asarray(get("f"), jnp.int32) if "f" in data else None,
+    )
+
+
+def build_smplx_avatar(config: Dict, eval: bool = False):
+    """ActorsHQ/SMPL-X assembly (`lib/smplman.py` + `lib/cage_smplman.py`
+    equivalents): subdivided star-posed template -> label-filtered cages
+    -> skin-weight transfer -> CageGeometry + pose closures."""
+    from d3ga_tpu.body.drivers import SmplxBody
+    from d3ga_tpu.body.smplx import smplx_lbs, smplx_unpose
+    from d3ga_tpu.data.actorshq import ActorsHQDataset
+    from d3ga_tpu.model.avatar import AvatarModel, GarmentSpec
+    from d3ga_tpu.model.cage_model import SILHOUETTE_COLORS
+
+    data_cfg = config["data"]
+    ds = ActorsHQDataset(
+        smplx_poses=data_cfg["smplx_poses"],
+        image=data_cfg["image"],
+        image_alpha=data_cfg["image_alpha"],
+        image_part_mask=data_cfg["image_part_mask"],
+        extrinsics=data_cfg["extrinsics"],
+        intrinsics=data_cfg["intrinsics"],
+        test_camera=[config["train"]["test_camera"]],
+        eval=eval,
+        n_testing_frames=data_cfg.get("n_testing_frames", 300),
+    )
+    smodel = load_smplx_model(data_cfg["smplx_model"])
+    body = SmplxBody(smodel)
+
+    star_pose = body.star_pose()
+    star = np.asarray(
+        smplx_lbs(smodel, star_pose, jnp.zeros((1, 10)))
+    )[0]
+    body_faces = np.asarray(smodel.faces)
+
+    cache_dir = os.path.join(config.get("assets", "assets_cache"), config["capture_id"])
+    # ActorsHQ part labels are per-pixel (1..4); build per-face labels by
+    # segmentation transfer over sampled frames.
+    face_to_label = build_face_labels_smplx(ds, body, star, body_faces, cache_dir)
+
+    garments = []
+    for name, cage_cfg in config.get("cages", {}).items():
+        geom = build_cage_for_garment(
+            name, cage_cfg, star, body_faces, face_to_label, cache_dir, config
+        )
+        try:
+            from d3ga_tpu.native import knn_query_native
+
+            nn = knn_query_native(star, np.asarray(geom.cage_points), 1)[:, 0]
+        except Exception:
+            from scipy.spatial import cKDTree
+
+            nn = cKDTree(star).query(np.asarray(geom.cage_points))[1]
+        cage_weights = smodel.weights[nn]
+        # Unpose cage nodes from star pose to template space
+        # (`lib/cage_smplman.py:57-76`): invert the star-pose blended
+        # transforms at the nearest template vertices.
+        _, _, T = smplx_lbs(
+            smodel, star_pose, jnp.zeros((1, 10)), return_transforms=True
+        )
+        Tn = T[0][nn]  # [Vc, 4, 4]
+        hom = jnp.concatenate(
+            [geom.cage_points, jnp.ones_like(geom.cage_points[:, :1])], -1
+        )
+        cage_canonical = jnp.einsum(
+            "vkl,vl->vk", jnp.linalg.inv(Tn), hom
+        )[:, :3]
+
+        def pose_nodes(batch, delta=None, _w=jnp.asarray(cage_weights),
+                       _canon=cage_canonical, _m=smodel):
+            verts = _canon
+            if delta is not None:
+                verts = verts + delta
+            poses = batch.get("smplx_poses", batch.get("lbs"))[None]
+            _, A, _ = smplx_lbs(
+                _m, poses, jnp.zeros((1, 10)), return_transforms=True
+            )
+            Tv = jnp.einsum("vj,bjkl->bvkl", _w, A)[0]
+            hom = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)
+            return jnp.einsum("vkl,vl->vk", Tv, hom)[:, :3]
+
+        garments.append(
+            GarmentSpec(
+                name=name,
+                geometry=geom,
+                pose_nodes=pose_nodes,
+                silhouette_color=SILHOUETTE_COLORS.get(
+                    cage_cfg.get("color", "gray"), (0.5, 0.5, 0.5)
+                ),
+                node_scale=float(cage_cfg.get("node_scale", 0.2)),
+            )
+        )
+
+    model = AvatarModel(
+        garments=tuple(garments),
+        cond_dim=87,
+        n_frames=len(ds),
+        n_cameras=ds.n_cameras(),
+        config=dict(avatar_config_from(config), is_smpl_body=True),
+    )
+    return model, ds, body
+
+
+def build_face_labels_smplx(ds, body, star_verts, body_faces, cache_dir):
+    path = os.path.join(cache_dir, "face_to_label.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    from d3ga_tpu.body.smplx import smplx_lbs
+    from d3ga_tpu.data.segmentation import Segmenter
+    from d3ga_tpu.raster.camera import make_camera
+    from d3ga_tpu.data.batcher import crop_params_from_intrinsics, focal2fov
+
+    seg = Segmenter(len(body_faces))
+    rng = np.random.default_rng(0)
+    picks = rng.choice(len(ds), size=min(48, len(ds)), replace=False)
+    for i in picks:
+        sample = ds[int(i)]
+        if sample is None:
+            continue
+        poses = jnp.asarray(sample["lbs_motion"])[None]
+        verts = np.asarray(smplx_lbs(body.model, poses, jnp.zeros((1, 10))))[0]
+        c2w = np.asarray(
+            body.transform_cameras(
+                {k: sample["smplx"][k][None] for k in ("Rh", "Th")},
+                _to44(sample["Rt"])[None],
+            )
+        )[0]
+        w2c = np.linalg.inv(c2w)
+        K = sample["K"]
+        Hh, Ww = sample["image"].shape[1:]
+        crop, w, h = crop_params_from_intrinsics(K, Ww, Hh)
+        cam = make_camera(
+            w2c[:3, :3].T, w2c[:3, 3],
+            focal2fov(K[0, 0], w), focal2fov(K[1, 1], h), w, h,
+        )
+        seg.add_frame(verts, body_faces, cam, sample["seg_part"][0])
+    labels = seg.run(body_faces)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.save(path, labels)
+    return labels
+
+
 def build_capture_training(config: Dict, eval: bool = False):
     """Returns (model, frame_iterator) for the train/test CLIs."""
     from d3ga_tpu.data.batcher import Batcher
@@ -304,11 +481,11 @@ def build_capture_training(config: Dict, eval: bool = False):
     name = config["dataset_name"]
     if name == "goliath":
         model, ds, body = build_goliath_avatar(config)
+    elif name == "actorshq":
+        model, ds, body = build_smplx_avatar(config, eval=eval)
+        return model, _actorshq_frame_iter(config, ds, body, model)
     else:
-        raise NotImplementedError(
-            "actorshq assembly requires SMPL-X model npz assets; "
-            "wire build_smplx_avatar analogously to build_goliath_avatar"
-        )
+        raise ValueError(f"unknown dataset {name!r}")
 
     batcher = Batcher(config, body_model=body)
 
@@ -346,3 +523,61 @@ def build_capture_training(config: Dict, eval: bool = False):
             }
 
     return model, frame_iter()
+
+
+def _actorshq_frame_iter(config, ds, body, model):
+    """Host-side ActorsHQ frame iterator through the Batcher."""
+    from d3ga_tpu.data.batcher import Batcher
+
+    batcher = Batcher(config, body_model=None)
+
+    def gen():
+        import jax
+
+        rng = np.random.default_rng(42)
+        while True:
+            idx = int(rng.integers(len(ds)))
+            sample = ds[idx]
+            if sample is None:
+                continue
+            # camera into body frame via Rh/Th (`smplman.py:201-217`)
+            c2w = np.asarray(
+                body.transform_cameras(
+                    {k: sample["smplx"][k][None] for k in ("Rh", "Th")},
+                    _to44(sample["Rt"])[None],
+                )
+            )[0]
+            frame = batcher.process_frame(
+                sample["image"], sample["K"], np.linalg.inv(c2w)[:3],
+                sample["seg_part"][0].astype(np.int32),
+                sample["lbs_motion"],
+                frame_id=sample["frame_id"],
+                camera_id=sample["camera_id"],
+                order_cam_idx=sample["order_cam_idx"],
+                seg_fg=sample["seg_fg"][0],
+                boundary_fg=sample["boundary_fg"],
+            )
+            camera = batcher.make_camera(frame)
+            yield {
+                "camera": camera,
+                "lbs": jnp.asarray(frame["lbs"]),
+                "smplx_poses": jnp.asarray(sample["smplx"]["poses"][:87]),
+                "frame_idx": jnp.int32(sample["frame_id"]),
+                "camera_idx": jnp.int32(sample["order_cam_idx"]),
+                "image": jnp.asarray(frame["image"]),
+                "alpha": jnp.asarray(frame["alpha"]),
+                "silhouette": jnp.asarray(frame["silhouette"]),
+                "boundary_fg": jnp.asarray(frame["boundary_fg"]),
+                "crop": frame["crop"],
+            }
+
+    return gen()
+
+
+def _to44(Rt):
+    Rt = np.asarray(Rt, np.float64)
+    if Rt.shape[-2] == 4:
+        return Rt
+    M = np.eye(4)
+    M[:3] = Rt
+    return M

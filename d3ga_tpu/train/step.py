@@ -50,6 +50,7 @@ def render_frame(
     vgg_params=None,
     loss_weights: LossWeights = LossWeights(),
     iteration=0,
+    sh_degree: int = 0,
 ):
     """Forward + two rasterizations + per-frame loss terms.
 
@@ -73,7 +74,7 @@ def render_frame(
         opacities=pkg["opacities"],
         colors=pkg["rgb"],
         shs=pkg["shs"] if pkg.get("rgb") is None else None,
-        sh_degree=int(batch.get("sh_degree", 0)),
+        sh_degree=sh_degree,
         **raster_kwargs,
     )
 
@@ -168,11 +169,15 @@ def make_train_step(
     vgg_params=None,
     loss_weights: LossWeights = LossWeights(),
     donate: bool = True,
+    sh_degree: int = 0,
 ):
     """Build the jitted single-device training step.
 
     step(params, opt_state, batch, rng, iteration) ->
         (params, opt_state, metrics)
+
+    sh_degree is static (the `oneupSHdegree` ramp rebuilds the step —
+    at most max_sh_degree recompiles per run).
     """
 
     def loss_fn(params, batch, rng, iteration):
@@ -184,6 +189,7 @@ def make_train_step(
             vgg_params=vgg_params,
             loss_weights=loss_weights,
             iteration=iteration,
+            sh_degree=sh_degree,
         )
         return total_loss(terms), (terms, aux)
 

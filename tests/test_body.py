@@ -147,3 +147,34 @@ class TestSmplx:
         unposed = smplx_unpose(m, poses, shapes, posed)
         v_shaped = m.v_template + jnp.einsum("s,vcs->vc", shapes[0], m.shapedirs)
         np.testing.assert_allclose(unposed[0], v_shaped, atol=1e-4)
+
+
+class TestSmplxLoader:
+    def test_load_from_synthetic_npz(self, tmp_path):
+        from d3ga_tpu.data.capture_builder import load_smplx_model
+
+        V, J = 12, 5
+        rng = np.random.default_rng(0)
+        kintree = np.zeros((2, J), np.int64)
+        kintree[0] = [2**32 - 1 if hasattr(np, "x") else 0, 0, 1, 2, 3]
+        kintree[0, 0] = 4294967295  # root marker as in real smplx npz
+        path = tmp_path / "smplx.npz"
+        np.savez(
+            path,
+            v_template=rng.normal(size=(V, 3)).astype(np.float32),
+            shapedirs=rng.normal(size=(V, 3, 20)).astype(np.float32),
+            posedirs=rng.normal(size=(V * 3, 9 * (J - 1))).astype(np.float32),
+            J_regressor=rng.dirichlet(np.ones(V), J).astype(np.float32),
+            kintree_table=kintree,
+            weights=rng.dirichlet(np.ones(J), V).astype(np.float32),
+            f=rng.integers(0, V, (10, 3)).astype(np.int32),
+            hands_componentsl=rng.normal(size=(45, 45)).astype(np.float32),
+            hands_componentsr=rng.normal(size=(45, 45)).astype(np.float32),
+            hands_meanl=np.zeros(45, np.float32),
+            hands_meanr=np.zeros(45, np.float32),
+        )
+        m = load_smplx_model(str(path))
+        assert m.num_joints == J and m.num_verts == V
+        assert int(m.parents[0]) == -1 or int(m.parents[0]) > J  # root handled
+        out = smplx_lbs(m, jnp.zeros((1, J * 3)), jnp.zeros((1, 10)))
+        np.testing.assert_allclose(out[0], m.v_template, atol=1e-4)

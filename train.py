@@ -122,24 +122,42 @@ def training(config):
         lambda_dssim=tcfg.get("lambda_dssim", 0.2),
         enable_vgg_from=tcfg.get("enable_vgg_from", 60_000),
     )
-    step = make_train_step(
-        model,
-        tx,
-        max_per_tile=tcfg.get("max_per_tile", 256),
-        detach_silhouette=tuple(config.get("detach_silhouette", ())),
-        vgg_params=vgg_params,
-        loss_weights=lw,
-    )
+    step_cache = {}
+
+    def get_step(sh_degree: int):
+        if sh_degree not in step_cache:
+            step_cache[sh_degree] = make_train_step(
+                model,
+                tx,
+                max_per_tile=tcfg.get("max_per_tile", 256),
+                detach_silhouette=tuple(config.get("detach_silhouette", ())),
+                vgg_params=vgg_params,
+                loss_weights=lw,
+                sh_degree=sh_degree,
+            )
+        return step_cache[sh_degree]
 
     params, opt_state, first_iter = restore_checkpoint(run_dir, params, opt_state)
     iterations = tcfg.get("iterations", 400_000)
     ckpt_n = tcfg.get("checkpoint_n_steps", 20_000)
     log_n = tcfg.get("log_n_steps", 50)
+    progress_n = tcfg.get("log_progress_n_steps", 5_000)
 
+    from d3ga_tpu.train.evaluate import compute_heatmap
+    from d3ga_tpu.train.reporting import MetricsLogger, dump_means3d, write_progress_grid
+    from d3ga_tpu.train.step import render_frame
+
+    mlog = MetricsLogger(run_dir)
     rng = jax.random.PRNGKey(tcfg.get("seed", 17))
+    use_shs = tcfg.get("use_shs", False)
+    max_sh_degree = tcfg.get("max_sh_degree", 3)
     t_last = time.time()
     for iteration in range(first_iter + 1, iterations + 1):
         batch = next(frames)
+        # active SH degree ramps +1 per 1000 iters
+        # (`models/trainer.py:180-184`)
+        deg = min(iteration // 1000, max_sh_degree) if use_shs else 0
+        step = get_step(deg)
         rng, step_rng = jax.random.split(rng)
         params, opt_state, metrics = step(
             params, opt_state, batch, step_rng, jnp.int32(iteration)
@@ -150,9 +168,24 @@ def training(config):
             check_loss(metrics, iteration)
             dt = (time.time() - t_last) / log_n
             t_last = time.time()
+            mlog.log(iteration, metrics)
             logger.info(
                 f"iter {iteration} | {1.0/dt:.2f} it/s | "
                 + " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
+            )
+
+        if iteration % progress_n == 0:
+            _, aux = render_frame(
+                params, model, batch, step_rng, training=False,
+                max_per_tile=tcfg.get("max_per_tile", 256),
+            )
+            write_progress_grid(
+                run_dir, iteration,
+                batch.get("frame_idx", 0), str(batch.get("camera_idx", 0)),
+                aux["pred_image"], aux["gt_image"],
+                pred_sil=aux.get("pred_silhouette"),
+                gt_sil=aux.get("gt_silhouette"),
+                heatmap=compute_heatmap(aux["gt_image"], aux["pred_image"]),
             )
 
         if iteration % ckpt_n == 0:
