@@ -63,10 +63,15 @@ def _cfg(config, key, default):
     return config.get(key, default)
 
 
-def init_avatar(key, model: AvatarModel):
+def init_avatar(key, model: AvatarModel, init_smplx_poses=None):
+    """init_smplx_poses: optional [n_frames, 87] dataset poses enabling
+    the optimizable per-frame SMPL-X corrections
+    (`garment_net.py:87-107`, `use_opt_smplx`)."""
     cfg = model.config
     ks = jax.random.split(key, len(model.garments) + 6)
     params: Dict[str, Any] = {"garments": {}}
+    if _cfg(cfg, "use_opt_smplx", False) and init_smplx_poses is not None:
+        params["optimizable_poses"] = jnp.asarray(init_smplx_poses, jnp.float32)
     for i, g in enumerate(model.garments):
         params["garments"][g.name] = init_cage_params(
             ks[i],
@@ -158,6 +163,17 @@ def avatar_forward(
     cfg = model.config
     camera = batch["camera"]
 
+    # Optimizable per-frame SMPL-X pose corrections replace the dataset
+    # poses during training and are frozen (stop-gradient) after 400k
+    # iterations (`garment_net.py:211-235`).
+    opt_poses = None
+    if "optimizable_poses" in params and training:
+        p = params["optimizable_poses"][batch["frame_idx"]]
+        it = batch.get("iteration", jnp.int32(0))
+        frozen = jnp.asarray(it > 400_000, p.dtype)
+        opt_poses = frozen * jax.lax.stop_gradient(p) + (1.0 - frozen) * p
+        batch = dict(batch, smplx_poses=opt_poses)
+
     # Conditioning pose vector (`models/cage_net.py:166-185`): momentum
     # drops the 6 root dims; SMPL-X uses poses[:87].
     if "smplx_poses" in batch:
@@ -221,7 +237,7 @@ def avatar_forward(
     merged["frame_encoding"] = (
         frame_enc if frame_enc is not None else jnp.zeros((1,))
     )
-    merged["optimizable_poses"] = batch.get("optimizable_poses")
+    merged["optimizable_poses"] = opt_poses
 
     if "camera_calib" in params and merged["rgb"] is not None:
         merged["rgb"] = apply_camera_calibration(

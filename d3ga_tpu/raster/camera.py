@@ -7,13 +7,21 @@ CUDA kernels; here `world_view @ [p,1]` maps world -> view directly).
 znear=0.01, zfar=100 fixed as in the reference.
 """
 
+import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class Camera(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Camera pytree. width/height are STATIC aux data (they size the
+    render grid), so a Camera can ride inside jitted batch pytrees
+    without its image dimensions becoming tracers."""
+
     world_view: jnp.ndarray  # [4,4] world -> view (column-vector convention)
     full_proj: jnp.ndarray   # [4,4] world -> clip
     camera_center: jnp.ndarray  # [3]
@@ -21,6 +29,17 @@ class Camera(NamedTuple):
     tanfovy: jnp.ndarray     # scalar
     width: int               # static
     height: int              # static
+
+    def tree_flatten(self):
+        children = (
+            self.world_view, self.full_proj, self.camera_center,
+            self.tanfovx, self.tanfovy,
+        )
+        return children, (self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, width=aux[0], height=aux[1])
 
 
 def projection_matrix(znear, zfar, fovx, fovy, dtype=jnp.float32):

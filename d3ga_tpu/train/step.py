@@ -58,6 +58,7 @@ def render_frame(
     """
     cfg = model.config
     camera = batch["camera"]
+    batch = dict(batch, iteration=iteration)
     pkg = avatar_forward(params, model, batch, training=training)
 
     if training:

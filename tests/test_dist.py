@@ -58,9 +58,12 @@ class TestShardedRaster:
         # NOTE: the sharded path must run under jit — eager shard_map
         # linearization trips an XLA sharding-override assertion in
         # jax 0.9 (jit is the production path regardless).
+        # Tolerance: the cumsum matmul runs at HIGH precision (3-pass
+        # bf16) and the sharded path groups tiles differently, so
+        # accumulation order differs at the ~1e-3 relative level.
         g1 = jax.jit(jax.grad(loss_sharded))(means)
         g2 = jax.grad(loss_single)(means)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3, atol=5e-4)
 
     def test_jit_compiles(self, mesh4):
         cam = simple_camera(w=32, h=32)

@@ -65,8 +65,9 @@ class TestCageForward:
         assert pkg["rgb"].shape == (n, 3)
         assert pkg["opacities"].shape == (n, 1)
         assert pkg["fm_energy"].shape == (1,)
-        # Gaussians must sit inside the (slightly shrunk) cube around z=5
-        assert jnp.all(jnp.abs(pkg["means3D"][:, 2] - 5.0) < 0.6)
+        # Gaussians near the cube around z=5 (delta_bary can push a
+        # Gaussian up to ~0.25 of a tet edge beyond the surface at init)
+        assert jnp.all(jnp.abs(pkg["means3D"][:, 2] - 5.0) < 0.9)
         # Covariances must be symmetric positive semidefinite
         from d3ga_tpu.ops.covariance import unstrip_symmetric
 
