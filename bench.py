@@ -60,13 +60,33 @@ def main():
     import os
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # NOTE: batch>1 amortizes the axon tunnel's per-op launch overhead
+    # (device time is ~25ms/step vs ~75ms wall) but the vmapped graph
+    # compiles very slowly through the remote-compile tunnel; default to
+    # the reliable single-frame measurement.
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
 
-    def loss_fn(means, cov6, opac, colors):
+    def frame_loss(means, cov6, opac, colors):
         img, _ = rasterize_tiled(
             means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
             max_per_tile=MAX_PER_TILE, use_pallas=use_pallas,
         )
         return jnp.mean(jnp.abs(img - target))
+
+    if batch > 1:
+        # Multi-camera batch per step (vmapped) — amortizes per-op launch
+        # overhead; pixels/s accounts for all frames.
+        vloss = jax.vmap(frame_loss, in_axes=(0, 0, 0, 0))
+
+        def loss_fn(means, cov6, opac, colors):
+            return jnp.mean(vloss(means, cov6, opac, colors))
+
+        def tile(x):
+            return jnp.broadcast_to(x[None], (batch,) + x.shape) + 0.0
+
+        means, cov6, opac, colors = map(tile, (means, cov6, opac, colors))
+    else:
+        loss_fn = frame_loss
 
     # Chained steps (params updated from grads, true data dependencies)
     # run inside ONE device dispatch via lax.fori_loop: measures
@@ -103,7 +123,7 @@ def main():
     float(np.asarray(loss))  # full sync
     dt = (time.perf_counter() - t0) / iters
 
-    mpix_s = (H * W) / dt / 1e6
+    mpix_s = (batch * H * W) / dt / 1e6
     print(
         json.dumps(
             {

@@ -119,6 +119,8 @@ class Batcher:
             alpha = erode_mask(alpha)
         if self.use_close_holes:
             alpha = close_holes(alpha)
+        if alpha.ndim == 2:
+            alpha = alpha[None]
 
         calib = self.calibrate_color(image_u8)
         if self.bg_color == "white":

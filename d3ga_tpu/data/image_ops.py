@@ -43,12 +43,13 @@ def linear2srgb(img: np.ndarray, gamma: float = 2.4) -> np.ndarray:
 
 
 def median_blur(mask: np.ndarray, k: int = 7) -> np.ndarray:
-    """Median filter of a [1, H, W] or [H, W] float mask (kornia
-    median_blur equivalent in the Batcher alpha path,
-    `lib/batch.py:157`)."""
+    """Median filter of a [1, H, W] or [H, W] float mask in [0,1] (kornia
+    median_blur equivalent in the Batcher alpha path, `lib/batch.py:157`).
+    cv2 only supports k > 5 on uint8, so filter on a 0..255 image."""
     squeeze = mask.ndim == 3
     m = mask[0] if squeeze else mask
-    out = cv2.medianBlur(m.astype(np.float32), k)
+    u8 = np.clip(m * 255.0, 0, 255).astype(np.uint8)
+    out = cv2.medianBlur(u8, k).astype(np.float32) / 255.0
     return out[None] if squeeze else out
 
 

@@ -87,7 +87,32 @@ def evaluate(config, iteration=None):
     pool.shutdown(wait=True)
     mean = acc.write(os.path.join(run_dir, "errors_test.txt"))
     logger.info(f"mean: {mean}")
+    write_video(out_dir, os.path.join(run_dir, "test.mp4"))
     return mean
+
+
+def write_video(frame_dir, out_path, fps=30, pattern="*_pred.png"):
+    """Assemble prediction frames into an mp4 (`test.py:208-217`);
+    silently skipped when ffmpeg is unavailable in the image."""
+    import glob
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        logger.warning("ffmpeg not available; skipping video export")
+        return
+    frames = sorted(glob.glob(os.path.join(frame_dir, pattern)))
+    if not frames:
+        return
+    list_file = os.path.join(frame_dir, "frames.txt")
+    with open(list_file, "w") as f:
+        for fr in frames:
+            f.write(f"file '{os.path.abspath(fr)}'\nduration {1.0/fps}\n")
+    subprocess.run(
+        ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", list_file,
+         "-pix_fmt", "yuv420p", out_path],
+        check=False, capture_output=True,
+    )
 
 
 if __name__ == "__main__":
