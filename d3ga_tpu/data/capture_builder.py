@@ -483,6 +483,20 @@ def build_capture_training(config: Dict, eval: bool = False):
         model, ds, body = build_goliath_avatar(config)
     elif name == "actorshq":
         model, ds, body = build_smplx_avatar(config, eval=eval)
+        if not eval:
+            # warmup split re-uses single frames for 100 steps during the
+            # first 200k iterations (`train.py:118-133`,
+            # `actorshq_dataset.py:219-226`); train.py alternates on the
+            # returned (train, warmup, boundary) triple.
+            ds.warmup = True
+            warmup_gen = _actorshq_frame_iter(config, ds, body, model)
+            import copy as _copy
+
+            ds2 = _copy.copy(ds)
+            ds2.warmup = False
+            train_gen = _actorshq_frame_iter(config, ds2, body, model)
+            return model, {"train": train_gen, "warmup": warmup_gen,
+                           "warmup_steps": 200_000}
         return model, _actorshq_frame_iter(config, ds, body, model)
     else:
         raise ValueError(f"unknown dataset {name!r}")

@@ -153,7 +153,15 @@ def training(config):
     max_sh_degree = tcfg.get("max_sh_degree", 3)
     t_last = time.time()
     for iteration in range(first_iter + 1, iterations + 1):
-        batch = next(frames)
+        if isinstance(frames, dict):
+            src = (
+                frames["warmup"]
+                if iteration <= frames.get("warmup_steps", 0)
+                else frames["train"]
+            )
+            batch = next(src)
+        else:
+            batch = next(frames)
         # active SH degree ramps +1 per 1000 iters
         # (`models/trainer.py:180-184`)
         deg = min(iteration // 1000, max_sh_degree) if use_shs else 0
