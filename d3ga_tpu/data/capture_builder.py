@@ -24,7 +24,7 @@ from typing import Dict, Iterator, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from loguru import logger
+from d3ga_tpu.utils.log import logger
 
 
 def _cache(path, builder):

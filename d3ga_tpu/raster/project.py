@@ -62,10 +62,14 @@ def project_gaussians(
     p_hom = jnp.concatenate([means3d, jnp.ones((n, 1), dtype)], axis=-1)
     p_view = p_hom @ camera.world_view.T  # [N,4]
     p_clip = p_hom @ camera.full_proj.T   # [N,4]
-    p_w = 1.0 / (p_clip[:, 3] + 1e-7)
-    p_proj = p_clip[:, :3] * p_w[:, None]
 
     in_front = p_view[:, 2] > NEAR_CULL_Z
+    # Culled Gaussians must not produce inf/NaN even in dead branches:
+    # jnp.where passes NaN cotangents through the unselected side, so
+    # every division below uses a safe substitute for culled entries.
+    w_safe = jnp.where(in_front, p_clip[:, 3], 1.0)
+    p_w = 1.0 / (w_safe + 1e-7)
+    p_proj = p_clip[:, :3] * p_w[:, None]
 
     if cov3d is None:
         Vrk = covariance_from_scaling_rotation(scales * scale_modifier, rotations)
@@ -75,7 +79,7 @@ def project_gaussians(
     # EWA Jacobian with fov clamping (exactly the CUDA computeCov2D).
     focal_x = camera.width / (2.0 * camera.tanfovx)
     focal_y = camera.height / (2.0 * camera.tanfovy)
-    tz = p_view[:, 2]
+    tz = jnp.where(in_front, p_view[:, 2], 1.0)
     limx = 1.3 * camera.tanfovx
     limy = 1.3 * camera.tanfovy
     tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
@@ -109,11 +113,13 @@ def project_gaussians(
     opac = opacities.reshape(n)
     if antialiasing:
         # dr_aa convolution scaling: energy-preserving opacity rescale.
-        h_conv = jnp.sqrt(jnp.maximum(1e-6, det_orig / det))
+        det_dil_safe = jnp.where(det > 0, det, 1.0)
+        h_conv = jnp.sqrt(jnp.maximum(1e-6, det_orig / det_dil_safe))
         opac = opac * h_conv
 
     det_ok = det > 0
-    inv_det = jnp.where(det_ok, 1.0 / det, 0.0)
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = jnp.where(det_ok, 1.0 / det_safe, 0.0)
     conic = jnp.stack([c11d * inv_det, -c01 * inv_det, c00d * inv_det], axis=-1)
 
     mid = 0.5 * (c00d + c11d)

@@ -22,8 +22,8 @@ def _ckpt_dir(run_dir: str) -> str:
 
 
 def save_checkpoint(run_dir: str, step: int, params, opt_state=None, name=None):
-    path = os.path.join(
-        _ckpt_dir(run_dir), name or f"chkpnt{step:06d}"
+    path = os.path.abspath(
+        os.path.join(_ckpt_dir(run_dir), name or f"chkpnt{step:06d}")
     )
     os.makedirs(path, exist_ok=True)
     bundle = {"params": params, "opt_state": opt_state, "step": step}
@@ -88,6 +88,7 @@ def restore_checkpoint(
     if path is None:
         return like_params, like_opt_state, 0
     bundle_like = {"params": like_params, "opt_state": like_opt_state, "step": 0}
+    path = os.path.abspath(path)
     orbax_path = os.path.join(path, "state")
     npz_path = os.path.join(path, "state.npz")
     if os.path.exists(orbax_path):

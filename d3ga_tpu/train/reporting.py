@@ -14,7 +14,7 @@ from typing import Dict
 
 import numpy as np
 
-from loguru import logger
+from d3ga_tpu.utils.log import logger
 
 
 class MetricsLogger:

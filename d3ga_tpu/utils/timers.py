@@ -13,7 +13,7 @@ from contextlib import contextmanager
 import jax
 import numpy as np
 
-from loguru import logger
+from d3ga_tpu.utils.log import logger
 
 
 def sync(x):

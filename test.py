@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from loguru import logger
+from d3ga_tpu.utils.log import logger
 
 from train import build_synthetic, load_config
 

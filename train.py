@@ -17,14 +17,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from loguru import logger
+from d3ga_tpu.utils.log import logger
 
 
 def load_config(path):
-    from omegaconf import OmegaConf
+    """YAML + ${} interpolation (OmegaConf is not installed in this
+    image; `d3ga_tpu.utils.config` implements the subset used)."""
+    from d3ga_tpu.utils.config import load_yaml_config
 
-    cfg = OmegaConf.load(path)
-    return OmegaConf.to_container(cfg, resolve=True)
+    return load_yaml_config(path)
 
 
 def check_loss(metrics, iteration):
@@ -36,16 +37,19 @@ def check_loss(metrics, iteration):
 
 
 def build_synthetic(config):
-    from d3ga_tpu.data.synthetic import (
-        build_synthetic_avatar,
-        orbit_camera,
-        synthetic_batch,
-    )
+    """Self-consistent synthetic task: a hidden 'teacher' avatar (same
+    architecture, different seed) renders the ground-truth images and
+    silhouettes for every (frame, camera); the trained 'student' must
+    reproduce them — so the losses are actually minimizable and eval
+    metrics are meaningful."""
+    from d3ga_tpu.data.synthetic import build_synthetic_avatar, orbit_camera
+    from d3ga_tpu.model.avatar import avatar_forward, init_avatar
+    from d3ga_tpu.raster.tiles import rasterize_tiled
 
     tcfg = config.get("train", {})
     h = config.get("image_height", 128)
     w = config.get("image_width", 128)
-    model, skel, lbs_dim = build_synthetic_avatar(
+    kwargs = dict(
         n_garments=config.get("n_garments", 2),
         n_gaussians=config.get("n_gaussians", 512),
         n_frames=config.get("n_frames", 16),
@@ -56,21 +60,59 @@ def build_synthetic(config):
             "use_color_calib": tcfg.get("use_color_calib", True),
         },
     )
+    model, skel, lbs_dim = build_synthetic_avatar(**kwargs)
+    teacher_params = init_avatar(jax.random.PRNGKey(999), model)
 
     cameras = [
         orbit_camera(2 * np.pi * i / model.n_cameras, w, h)
         for i in range(model.n_cameras)
     ]
 
+    max_per_tile = tcfg.get("max_per_tile", 128)
+
+    @jax.jit
+    def teacher_render(lbs, camera, frame_idx, camera_idx):
+        batch = {
+            "camera": camera, "lbs": lbs,
+            "frame_idx": frame_idx, "camera_idx": camera_idx,
+        }
+        pkg = avatar_forward(teacher_params, model, batch, training=False)
+        img, alpha, _ = rasterize_tiled(
+            pkg["means3D"], camera, jnp.ones(3),
+            cov3d=pkg["cov3D_precomp"], opacities=pkg["opacities"],
+            colors=pkg["rgb"], max_per_tile=max_per_tile, return_alpha=True,
+        )
+        sil, _ = rasterize_tiled(
+            pkg["means3D"], camera, jnp.zeros(3),
+            cov3d=pkg["cov3D_precomp"], opacities=pkg["opacities"],
+            colors=pkg["silhouette_rgb"], max_per_tile=max_per_tile,
+        )
+        return img, alpha, sil
+
+    cache = {}
+
     def frame_iter(rng_seed=0):
         rng = np.random.default_rng(rng_seed)
         while True:
             fi = int(rng.integers(model.n_frames))
             ci = int(rng.integers(model.n_cameras))
-            yield synthetic_batch(
-                cameras[ci], lbs_dim, h, w, frame_idx=fi, camera_idx=ci,
-                key=jax.random.PRNGKey(fi),
-            )
+            if (fi, ci) not in cache:
+                pose = (
+                    jax.random.normal(jax.random.PRNGKey(fi), (lbs_dim,)) * 0.1
+                )
+                img, alpha, sil = teacher_render(
+                    pose, cameras[ci], jnp.int32(fi), jnp.int32(ci)
+                )
+                cache[(fi, ci)] = {
+                    "camera": cameras[ci],
+                    "lbs": pose,
+                    "frame_idx": jnp.int32(fi),
+                    "camera_idx": jnp.int32(ci),
+                    "image": jnp.clip(img, 0, 1),
+                    "alpha": jnp.clip(alpha, 0, 1)[None],
+                    "silhouette": jnp.clip(sil, 0, 1),
+                }
+            yield cache[(fi, ci)]
 
     return model, frame_iter()
 
