@@ -95,7 +95,17 @@ def restore_checkpoint(
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        bundle = ckptr.restore(orbax_path, item=bundle_like)
+        try:
+            bundle = ckptr.restore(orbax_path, item=bundle_like)
+        except ValueError:
+            # Template mismatch (e.g. eval restores params only while
+            # the checkpoint stores an optimizer state): generic restore.
+            raw = ckptr.restore(orbax_path)
+            bundle = {
+                "params": raw.get("params", like_params),
+                "opt_state": like_opt_state,
+                "step": raw.get("step", 0),
+            }
     else:
         bundle = _load_npz(npz_path, bundle_like)
     return bundle["params"], bundle["opt_state"], int(bundle["step"])

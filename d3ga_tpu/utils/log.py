@@ -12,3 +12,4 @@ logger = logging.getLogger("d3ga_tpu")
 if not logger.handlers:
     logger.addHandler(_handler)
 logger.setLevel(logging.INFO)
+logger.propagate = False

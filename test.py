@@ -48,7 +48,11 @@ def evaluate(config, iteration=None):
     params, _, step_restored = restore_checkpoint(run_dir, params, None, step=iteration)
     logger.info(f"Restored checkpoint at step {step_restored}")
 
-    vgg_params = init_vgg19_features(weights_path=tcfg.get("vgg_weights_path"))
+    # VGG distance only when pretrained weights exist (the random-init
+    # fallback is a training-loss proxy, not a meaningful eval metric).
+    vgg_params = None
+    if tcfg.get("vgg_weights_path"):
+        vgg_params = init_vgg19_features(weights_path=tcfg["vgg_weights_path"])
 
     acc = MetricAccumulator()
     pool = ThreadPoolExecutor(max_workers=8)
@@ -56,28 +60,29 @@ def evaluate(config, iteration=None):
 
     import functools
 
-    render_jit = jax.jit(
-        functools.partial(
-            render_frame,
-            model=model,
-            training=False,
-            max_per_tile=tcfg.get("max_per_tile", 256),
-            loss_weights=LossWeights(enable_vgg_from=0),
-        ),
-        static_argnames=(),
-    )
+    from d3ga_tpu.train.losses import psnr as psnr_fn
+    from d3ga_tpu.train.losses import ssim as ssim_fn
 
-    for i in range(n_eval):
-        batch = next(frames)
+    @jax.jit
+    def eval_frame(params, batch, rng):
         terms, aux = render_frame(
-            params, model, batch, jax.random.PRNGKey(i), training=False,
+            params, model, batch, rng, training=False,
             max_per_tile=tcfg.get("max_per_tile", 256),
         )
         pred = jnp.clip(aux["pred_image"], 0, 1)
         gt = jnp.clip(aux["gt_image"], 0, 1)
-        metrics = compute_errors(gt, pred, vgg_params)
+        metrics = {"ssim": ssim_fn(pred, gt), "psnr": psnr_fn(pred, gt)}
+        return pred, gt, compute_heatmap(gt, pred), metrics
+
+    for i in range(n_eval):
+        batch = next(frames)
+        pred, gt, heat, metrics = eval_frame(params, batch, jax.random.PRNGKey(i))
+        metrics = {k: float(v) for k, v in metrics.items()}
+        if vgg_params is not None:
+            from d3ga_tpu.train.evaluate import vgg_distance
+
+            metrics["vgg_dist"] = vgg_distance(vgg_params, pred, gt)
         acc.add(metrics)
-        heat = compute_heatmap(gt, pred)
         fid = int(batch.get("frame_idx", i))
         pool.submit(save_image_png, os.path.join(out_dir, f"{fid:06d}_pred.png"), np.asarray(pred))
         pool.submit(save_image_png, os.path.join(out_dir, f"{fid:06d}_gt.png"), np.asarray(gt))
