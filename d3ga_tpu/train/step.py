@@ -67,36 +67,58 @@ def render_frame(
         bg = jnp.ones(3) if cfg.get("background", "white") == "white" else jnp.zeros(3)
 
     raster_kwargs = dict(max_per_tile=max_per_tile)
-    pred_image, aux_rgb = rasterize_tiled(
-        pkg["means3D"], camera, bg,
-        cov3d=pkg.get("cov3D_precomp"),
-        scales=pkg.get("scales"),
-        rotations=pkg.get("rotations"),
-        opacities=pkg["opacities"],
-        colors=pkg["rgb"],
-        shs=pkg["shs"] if pkg.get("rgb") is None else None,
-        sh_degree=sh_degree,
-        **raster_kwargs,
-    )
+    fuse = not detach_silhouette and pkg.get("rgb") is not None
+    if fuse:
+        # One fused rasterization with 6 color channels (RGB +
+        # silhouette): projection/sort/binning/blend-weights are shared
+        # — the reference launches the CUDA kernel twice per step
+        # (`models/trainer.py:102-110`; fusion suggested in SURVEY.md
+        # "Hard parts"). Only valid when the silhouette pass does not
+        # detach anything.
+        colors6 = jnp.concatenate([pkg["rgb"], pkg["silhouette_rgb"]], axis=-1)
+        bg6 = jnp.concatenate([bg, jnp.zeros(3)])
+        both, aux_rgb = rasterize_tiled(
+            pkg["means3D"], camera, bg6,
+            cov3d=pkg.get("cov3D_precomp"),
+            scales=pkg.get("scales"),
+            rotations=pkg.get("rotations"),
+            opacities=pkg["opacities"],
+            colors=colors6,
+            **raster_kwargs,
+        )
+        pred_image = both[:3]
+        pred_sil = both[3:]
+    else:
+        pred_image, aux_rgb = rasterize_tiled(
+            pkg["means3D"], camera, bg,
+            cov3d=pkg.get("cov3D_precomp"),
+            scales=pkg.get("scales"),
+            rotations=pkg.get("rotations"),
+            opacities=pkg["opacities"],
+            colors=pkg["rgb"],
+            shs=pkg["shs"] if pkg.get("rgb") is None else None,
+            sh_degree=sh_degree,
+            **raster_kwargs,
+        )
 
-    sil_means = pkg["means3D"]
-    sil_cov = pkg.get("cov3D_precomp")
-    sil_opac = pkg["opacities"]
-    if "position" in detach_silhouette:
-        sil_means = jax.lax.stop_gradient(sil_means)
-    if "covariance" in detach_silhouette and sil_cov is not None:
-        sil_cov = jax.lax.stop_gradient(sil_cov)
-    if "opacity" in detach_silhouette:
-        sil_opac = jax.lax.stop_gradient(sil_opac)
-    pred_sil, _ = rasterize_tiled(
-        sil_means, camera, jnp.zeros(3),
-        cov3d=sil_cov,
-        scales=pkg.get("scales"),
-        rotations=pkg.get("rotations"),
-        opacities=sil_opac,
-        colors=pkg["silhouette_rgb"],
-        **raster_kwargs,
-    )
+        sil_means = pkg["means3D"]
+        sil_cov = pkg.get("cov3D_precomp")
+        sil_opac = pkg["opacities"]
+        if "position" in detach_silhouette:
+            sil_means = jax.lax.stop_gradient(sil_means)
+        if "covariance" in detach_silhouette and sil_cov is not None:
+            sil_cov = jax.lax.stop_gradient(sil_cov)
+        if "opacity" in detach_silhouette:
+            sil_opac = jax.lax.stop_gradient(sil_opac)
+        pred_sil, _ = rasterize_tiled(
+            sil_means, camera, jnp.zeros(3),
+            cov3d=sil_cov,
+            scales=pkg.get("scales"),
+            rotations=pkg.get("rotations"),
+            opacities=sil_opac,
+            colors=pkg["silhouette_rgb"],
+            **raster_kwargs,
+        )
 
     blur_weights = None
     if "learnable_blur" in params:

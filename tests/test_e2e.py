@@ -134,3 +134,28 @@ class TestEvaluate:
         )
         assert aux["pred_image"].shape == (3, h, w)
         assert np.isfinite(float(sum(terms.values())))
+
+
+class TestFusedSilhouette:
+    def test_fused_matches_two_pass(self, setup):
+        from d3ga_tpu.train.step import render_frame
+
+        model, params, batch, _ = setup
+        rng = jax.random.PRNGKey(4)
+        # detach_silhouette=("none",) forces the two-pass path without
+        # actually detaching anything -> must equal the fused pass.
+        _, aux_fused = render_frame(
+            params, model, batch, rng, training=True, max_per_tile=64,
+        )
+        _, aux_two = render_frame(
+            params, model, batch, rng, training=True, max_per_tile=64,
+            detach_silhouette=("none",),
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux_fused["pred_image"]),
+            np.asarray(aux_two["pred_image"]), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux_fused["pred_silhouette"]),
+            np.asarray(aux_two["pred_silhouette"]), atol=1e-5,
+        )
