@@ -246,3 +246,47 @@ def synthetic_batch(camera, lbs_dim, h, w, frame_idx=0, camera_idx=0, key=None):
         "alpha": jnp.ones((1, h, w)),
         "silhouette": jnp.ones((3, h, w)) * 0.5,
     }
+
+
+def mesh_garment_from_cube(
+    n_gaussians=64, seed=0, center=(0.0, 0.0, 5.0), size=1.0, res=2,
+    skel: Optional[MomentumSkeleton] = None,
+):
+    """Synthetic mesh-primitive garment (`primitive_type: mesh`):
+    Gaussians ride on the cube surface triangles with 3-vertex
+    barycentrics (`models/mesh_net.py` analogue)."""
+    from d3ga_tpu.geometry.sampling import sample_initial_gaussians
+    from d3ga_tpu.model.mesh_model import MeshGeometry
+    from d3ga_tpu.ops.quaternion import matrix_to_quat
+
+    verts, _, faces = subdivided_cube(center, size, res)
+    samples = sample_initial_gaussians(verts, faces, n_gaussians, seed=seed)
+    geom = MeshGeometry(
+        template_verts=jnp.asarray(verts, jnp.float32),
+        faces=jnp.asarray(faces, jnp.int32),
+        init_face_ids=jnp.asarray(samples["face_ids"], jnp.int32),
+        init_barys=jnp.asarray(samples["tri_barys"], jnp.float32),
+        init_points=jnp.asarray(samples["points"], jnp.float32),
+        init_rotations=matrix_to_quat(jnp.asarray(samples["rotations"])),
+    )
+    skel = skel if skel is not None else toy_skeleton(3, seed)
+    nodes = np.asarray(geom.template_verts)
+    joints = np.asarray(skel.bind_state[:, 0:3])
+    d = np.linalg.norm(nodes[:, None] - joints[None], axis=-1) + 1e-4
+    k = min(8, joints.shape[0])
+    idx = np.argsort(d, axis=1)[:, :k]
+    w = 1.0 / np.take_along_axis(d, idx, axis=1) ** 2
+    w = w / w.sum(axis=1, keepdims=True)
+    skel_mesh = skel._replace(
+        skin_weights=jnp.asarray(np.pad(w, ((0, 0), (0, 8 - k))).astype(np.float32)),
+        skin_indices=jnp.asarray(np.pad(idx, ((0, 0), (0, 8 - k))).astype(np.int32)),
+        template_verts=geom.template_verts,
+    )
+
+    def pose_verts(batch, delta=None):
+        verts = skel_mesh.template_verts
+        if delta is not None:
+            verts = verts + delta
+        return skin_points(skel_mesh, batch["lbs"][None], verts[None])[0]
+
+    return geom, pose_verts, skel

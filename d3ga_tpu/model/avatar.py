@@ -44,11 +44,12 @@ MERGE_KEYS = (
 
 class GarmentSpec(NamedTuple):
     name: str
-    geometry: CageGeometry
-    # pose_nodes(batch, delta) -> [V, 3] posed cage nodes
+    geometry: Any  # CageGeometry or MeshGeometry
+    # pose_nodes(batch, delta) -> [V, 3] posed cage nodes / mesh verts
     pose_nodes: Callable[[Dict[str, Any], Optional[jnp.ndarray]], jnp.ndarray]
     silhouette_color: tuple
     node_scale: float = 0.2
+    primitive: str = "cage"  # "cage" | "mesh" (`garment_net.py:53-56`)
 
 
 class AvatarModel(NamedTuple):
@@ -73,6 +74,27 @@ def init_avatar(key, model: AvatarModel, init_smplx_poses=None):
     if _cfg(cfg, "use_opt_smplx", False) and init_smplx_poses is not None:
         params["optimizable_poses"] = jnp.asarray(init_smplx_poses, jnp.float32)
     for i, g in enumerate(model.garments):
+        if g.primitive == "mesh":
+            from d3ga_tpu.model.mesh_model import init_mesh_params
+
+            params["garments"][g.name] = init_mesh_params(
+                ks[i],
+                g.geometry,
+                model.cond_dim,
+                n_color_features=_cfg(cfg, "n_color_features", 64),
+                color_in_dim=F.color_field_input_dim(
+                    _cfg(cfg, "n_color_features", 64),
+                    model.cond_dim,
+                    use_pose=_cfg(cfg, "use_pose", True),
+                    use_view_enc=_cfg(cfg, "use_view_enc", True),
+                    frame_dim=_cfg(cfg, "frame_embed_dim", 0),
+                    camera_dim=_cfg(cfg, "camera_embed_dim", 0),
+                ),
+                deform_cfg=_cfg(cfg, "deform_mlp", None),
+                canon_cfg=_cfg(cfg, "canon_mlp", None),
+                color_cfg=_cfg(cfg, "color_mlp", None),
+            )
+            continue
         params["garments"][g.name] = init_cage_params(
             ks[i],
             g.geometry,
@@ -162,6 +184,11 @@ def avatar_forward(
     """
     cfg = model.config
     camera = batch["camera"]
+    # Mixed primitives can't be concatenated into one rasterizer call
+    # (cov3D vs scales+rotations) — same constraint as the reference's
+    # global `primitive_type`.
+    prims = {g.primitive for g in model.garments}
+    assert len(prims) == 1, f"all garments must share a primitive, got {prims}"
 
     # Optimizable per-frame SMPL-X pose corrections replace the dataset
     # poses during training and are frozen (stop-gradient) after 400k
@@ -211,6 +238,28 @@ def avatar_forward(
         if g.name == "face" and face_embs is not None:
             gcond = face_embs
         geometry = g.geometry if geom_override is None else geom_override[g.name]
+        if g.primitive == "mesh":
+            from d3ga_tpu.model.mesh_model import mesh_forward
+
+            pkg = mesh_forward(
+                params["garments"][g.name],
+                geometry,
+                lambda delta, g=g: g.pose_nodes(batch, delta),
+                cond_deform=gcond,
+                cond_canon=gcond,
+                cond_color=gcond,
+                camera_center=camera.camera_center,
+                frame_encoding=frame_enc,
+                camera_encoding=camera_enc,
+                silhouette_color=g.silhouette_color,
+                node_scale=g.node_scale,
+                scale_bary=_cfg(cfg, "scale_bary", 0.25),
+                use_pose=_cfg(cfg, "use_pose", True),
+                use_view_enc=_cfg(cfg, "use_view_enc", True),
+            )
+            pkg["__name__"] = g.name
+            pkgs.append(pkg)
+            continue
         pkg = cage_forward(
             params["garments"][g.name],
             geometry,

@@ -170,3 +170,55 @@ class TestAvatar:
         g = jax.grad(loss_fn)(params)
         for leaf in jax.tree.leaves(g):
             assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+class TestMeshPrimitive:
+    def test_mesh_avatar_forward_and_render(self):
+        from d3ga_tpu.data.synthetic import mesh_garment_from_cube, toy_skeleton
+        from d3ga_tpu.model.avatar import (
+            AvatarModel,
+            GarmentSpec,
+            avatar_forward,
+            init_avatar,
+        )
+
+        skel = toy_skeleton(3, 0)
+        geom, pose_verts, _ = mesh_garment_from_cube(n_gaussians=48, skel=skel)
+        model = AvatarModel(
+            garments=(
+                GarmentSpec(
+                    name="body", geometry=geom, pose_nodes=pose_verts,
+                    silhouette_color=(0.0, 0.0, 1.0), primitive="mesh",
+                ),
+            ),
+            cond_dim=21,
+            n_frames=4,
+            n_cameras=2,
+            config={"frame_embed_dim": 32, "use_color_calib": True},
+        )
+        params = init_avatar(jax.random.PRNGKey(0), model)
+        cam = test_camera()
+        batch = {
+            "lbs": jnp.zeros(21),
+            "camera": cam,
+            "frame_idx": jnp.int32(0),
+            "camera_idx": jnp.int32(0),
+        }
+        pkg = avatar_forward(params, model, batch)
+        assert pkg["scales"].shape == (48, 3)
+        assert pkg["rotations"].shape == (48, 4)
+        assert pkg["cov3D_precomp"] is None
+        np.testing.assert_allclose(pkg["fm_energy"], [0.0])
+
+        def loss(p):
+            out = avatar_forward(p, model, batch)
+            img, _ = rasterize_tiled(
+                out["means3D"], cam, jnp.zeros(3), scales=out["scales"],
+                rotations=out["rotations"], opacities=out["opacities"],
+                colors=out["rgb"], max_per_tile=64,
+            )
+            return jnp.sum(img)
+
+        g = jax.grad(loss)(params)
+        for leaf in jax.tree.leaves(g):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
