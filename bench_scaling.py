@@ -1,0 +1,110 @@
+"""Multi-device scaling benchmark: collective-raster fwd+bwd throughput
+at 1 device vs N devices (BASELINE north star: >0.8 efficiency to 2
+hosts).
+
+On this environment only one TPU chip is reachable, so by default the
+protocol is validated on N virtual CPU devices
+(`SCALING_FAKE_CPU=1 python bench_scaling.py`); on a real slice run it
+unmodified and it uses every local device.
+
+Prints one JSON line:
+  {"metric": "raster_scaling_efficiency", "value": eff, ...}
+"""
+
+import json
+import os
+import time
+
+if os.environ.get("SCALING_FAKE_CPU", "0" if "COLAB" not in os.environ else "1") == "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 512, 512
+N_GAUSS = int(os.environ.get("SCALING_N_GAUSS", "40000"))
+MAX_PER_TILE = 128
+ITERS = int(os.environ.get("SCALING_ITERS", "5"))
+
+
+def main():
+    from bench import build_scene
+    from d3ga_tpu.dist.mesh import make_mesh
+    from d3ga_tpu.dist.raster_shard import rasterize_sharded
+    from d3ga_tpu.ops.covariance import covariance_from_scaling_rotation, strip_symmetric
+    from d3ga_tpu.raster.camera import focal2fov, make_camera
+
+    import bench as bench_mod
+
+    bench_mod.N_GAUSS = N_GAUSS  # reuse the scene builder at this scale
+
+    camera = make_camera(
+        np.eye(3), np.zeros(3), focal2fov(700.0, W), focal2fov(700.0, H), W, H
+    )
+    means, scales, rots, opac, colors = build_scene(jax.random.PRNGKey(0))
+    means = means[:N_GAUSS]
+    scales, rots = scales[:N_GAUSS], rots[:N_GAUSS]
+    opac, colors = opac[:N_GAUSS], colors[:N_GAUSS]
+    cov6 = strip_symmetric(covariance_from_scaling_rotation(scales, rots))
+    target = jax.random.uniform(jax.random.PRNGKey(1), (3, H, W))
+    bg = jnp.zeros(3)
+
+    def measure(n_model):
+        mesh = make_mesh(data=1, model=n_model)
+
+        def loss(m):
+            img, _ = rasterize_sharded(
+                mesh, m, camera, bg, cov3d=cov6, opacities=opac,
+                colors=colors, max_per_tile=MAX_PER_TILE,
+            )
+            return jnp.mean(jnp.abs(img - target))
+
+        @jax.jit
+        def run(m):
+            def step(_, carry):
+                m, _ = carry
+                l, g = jax.value_and_grad(loss)(m)
+                return m - 1e-9 * g, l
+
+            return jax.lax.fori_loop(0, ITERS, step, (m, jnp.float32(0)))[1]
+
+        float(np.asarray(run(means)))  # compile+warm
+        t0 = time.perf_counter()
+        l = run(means)
+        float(np.asarray(l))
+        return (time.perf_counter() - t0) / ITERS
+
+    n_dev = len(jax.devices())
+    t1 = measure(1)
+    pix_s_1 = H * W / t1
+    if n_dev > 1:
+        tn = measure(n_dev)
+        pix_s_n = H * W / tn
+        eff = (pix_s_n / pix_s_1) / n_dev
+    else:
+        tn, pix_s_n, eff = t1, pix_s_1, 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "raster_scaling_efficiency",
+                "value": round(eff, 4),
+                "unit": f"speedup/{n_dev}dev",
+                "vs_baseline": round(eff / 0.8, 4),
+                "mpix_s_1dev": round(pix_s_1 / 1e6, 3),
+                "mpix_s_ndev": round(pix_s_n / 1e6, 3),
+                "n_devices": n_dev,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
