@@ -222,3 +222,76 @@ class TestMeshPrimitive:
         g = jax.grad(loss)(params)
         for leaf in jax.tree.leaves(g):
             assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+class TestOptionalPaths:
+    def _base(self, cfg_extra, n=32):
+        geom = cube_cage(n_gaussians=n)
+        spec = GarmentSpec(
+            name="body", geometry=geom, pose_nodes=identity_pose_nodes(geom),
+            silhouette_color=(0.0, 0.0, 1.0),
+        )
+        cfg = {"frame_embed_dim": 32, "use_color_calib": True}
+        cfg.update(cfg_extra)
+        model = AvatarModel(
+            garments=(spec,), cond_dim=COND, n_frames=4, n_cameras=2, config=cfg
+        )
+        params = init_avatar(jax.random.PRNGKey(0), model)
+        return model, params, geom
+
+    def test_shs_path(self):
+        model, params, _ = self._base({"use_shs": True, "max_sh_degree": 2})
+        cam = test_camera()
+        batch = make_batch(cam)
+        pkg = avatar_forward(params, model, batch)
+        n = 32
+        assert pkg["shs"].shape == (n, 9, 3)
+        assert pkg["rgb"] is None
+        img, _ = rasterize_tiled(
+            pkg["means3D"], cam, jnp.zeros(3), cov3d=pkg["cov3D_precomp"],
+            opacities=pkg["opacities"], shs=pkg["shs"], sh_degree=1,
+            max_per_tile=64,
+        )
+        assert bool(jnp.all(jnp.isfinite(img)))
+        # SH grads flow
+        def loss(p):
+            out = avatar_forward(p, model, batch)
+            img, _ = rasterize_tiled(
+                out["means3D"], cam, jnp.zeros(3), cov3d=out["cov3D_precomp"],
+                opacities=out["opacities"], shs=out["shs"], sh_degree=1,
+                max_per_tile=64,
+            )
+            return jnp.sum(img)
+        g = jax.grad(loss)(params)
+        assert float(jnp.abs(g["garments"]["body"]["features_dc"]).sum()) > 0
+
+    def test_ao_shadow_path(self):
+        model, params, geom = self._base({"use_ao": True})
+        # cage-to-body mapping: identity onto a fake body template
+        n_body = geom.cage_points.shape[0]
+        geom2 = geom._replace(
+            cage_to_body_vertex=jnp.arange(n_body, dtype=jnp.int32)
+        )
+        model = model._replace(
+            garments=(model.garments[0]._replace(geometry=geom2),)
+        )
+        from d3ga_tpu.ops.posenc import positional_encoding
+
+        template = jax.random.normal(jax.random.PRNGKey(1), (n_body, 3))
+        batch = make_batch(test_camera())
+        batch["template_pe"] = positional_encoding(template, 7)
+        pkg = avatar_forward(params, model, batch)
+        assert "shadow_decoder" in params
+        assert bool(jnp.all(jnp.isfinite(pkg["rgb"])))
+
+    def test_face_embedding_path(self):
+        model, params, _ = self._base(
+            {"use_face_emb": True, "n_valid_kpts": 10, "face_embed_dim": COND}
+        )
+        batch = make_batch(test_camera())
+        batch["face_kpt_canonical"] = jax.random.normal(
+            jax.random.PRNGKey(2), (10, 3)
+        )
+        pkg = avatar_forward(params, model, batch)
+        assert "face_decoder" in params
+        assert bool(jnp.all(jnp.isfinite(pkg["rgb"])))
