@@ -49,146 +49,174 @@ def _tri(K, dtype=jnp.float32):
     return jnp.asarray(np.triu(np.ones((K, K), np.float32)), dtype)
 
 
+# tiles processed per grid program: amortizes per-program pipeline
+# overhead; VMEM stays ~TB x 4 x [256, K] fp32 buffers.
+TILES_PER_BLOCK = 4
+
+
 def _forward_body(coeff_ref, color_ref, opac_ref, basis_ref, tri_ref, out_ref):
-    power = jax.lax.dot_general(
-        basis_ref[0], coeff_ref[0],
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [256, K]
-    opac = opac_ref[0]  # [1, K] broadcast row? stored [1, K]
-    alpha = jnp.minimum(ALPHA_MAX, opac * jnp.exp(power))
-    use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
-    alpha = jnp.where(use, alpha, 0.0)
-    lg = jnp.log1p(-alpha)
-    cum = jax.lax.dot_general(
-        lg, tri_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [256, K] inclusive log-transmittance
-    t_after = jnp.exp(cum)
-    accept = t_after >= T_EPS
-    w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
-    t_bg = jnp.exp(jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True))
-    rgb = jax.lax.dot_general(
-        w, color_ref[0],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [256, C]
-    out_ref[0] = jnp.concatenate([rgb, t_bg], axis=-1)
+    basis = basis_ref[0]
+    tri = tri_ref[...]
+    for b in range(TILES_PER_BLOCK):  # static unroll
+        power = jax.lax.dot_general(
+            basis, coeff_ref[b],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [256, K]
+        opac = opac_ref[b]  # [1, K]
+        alpha = jnp.minimum(ALPHA_MAX, opac * jnp.exp(power))
+        use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+        alpha = jnp.where(use, alpha, 0.0)
+        lg = jnp.log1p(-alpha)
+        cum = jax.lax.dot_general(
+            lg, tri,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [256, K] inclusive log-transmittance
+        t_after = jnp.exp(cum)
+        accept = t_after >= T_EPS
+        w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
+        t_bg = jnp.exp(
+            jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+        )
+        rgb = jax.lax.dot_general(
+            w, color_ref[b],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [256, C]
+        out_ref[b] = jnp.concatenate([rgb, t_bg], axis=-1)
 
 
 def _backward_body(
     coeff_ref, color_ref, opac_ref, basis_ref, tri_ref, g_ref,
     dcoeff_ref, dcolor_ref, dopac_ref,
 ):
-    # --- recompute forward ---
     basis = basis_ref[0]
-    coeffs = coeff_ref[0]
-    color = color_ref[0]
-    opac = opac_ref[0]
-    power = jax.lax.dot_general(
-        basis, coeffs, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    raw = opac * jnp.exp(power)
-    alpha = jnp.minimum(ALPHA_MAX, raw)
-    use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
-    alpha = jnp.where(use, alpha, 0.0)
-    lg = jnp.log1p(-alpha)
     tri = tri_ref[...]
-    cum = jax.lax.dot_general(
-        lg, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    t_after = jnp.exp(cum)
-    accept = t_after >= T_EPS
-    t_before = jnp.exp(cum - lg)
-    w = jnp.where(accept, alpha * t_before, 0.0)
-    sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
-    t_bg = jnp.exp(sum_lg)
+    for b in range(TILES_PER_BLOCK):  # static unroll
+        # --- recompute forward ---
+        coeffs = coeff_ref[b]
+        color = color_ref[b]
+        opac = opac_ref[b]
+        power = jax.lax.dot_general(
+            basis, coeffs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        raw = opac * jnp.exp(power)
+        alpha = jnp.minimum(ALPHA_MAX, raw)
+        use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+        alpha = jnp.where(use, alpha, 0.0)
+        lg = jnp.log1p(-alpha)
+        cum = jax.lax.dot_general(
+            lg, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        t_after = jnp.exp(cum)
+        accept = t_after >= T_EPS
+        t_before = jnp.exp(cum - lg)
+        w = jnp.where(accept, alpha * t_before, 0.0)
+        sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+        t_bg = jnp.exp(sum_lg)
 
-    # --- cotangents ---
-    g = g_ref[0]                     # [256, C+1]
-    g_rgb = g[:, :-1]                # [256, C]
-    g_tbg = g[:, -1:]                # [256, 1]
+        # --- cotangents ---
+        g = g_ref[b]                     # [256, C+1]
+        g_rgb = g[:, :-1]                # [256, C]
+        g_tbg = g[:, -1:]                # [256, 1]
 
-    # rgb = w @ color
-    dw = jax.lax.dot_general(
-        g_rgb, color, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [256, K]
-    dcolor_ref[0] = jax.lax.dot_general(
-        w, g_rgb, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [K, C]
+        # rgb = w @ color
+        dw = jax.lax.dot_general(
+            g_rgb, color, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [256, K]
+        dcolor_ref[b] = jax.lax.dot_general(
+            w, g_rgb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, C]
 
-    # w = accept * alpha * exp(s), s = cum - lg
-    ds = dw * w                         # dL/ds
-    dalpha = jnp.where(accept, dw * t_before, 0.0)
-    # t_bg = exp(sum_k accept*lg)
-    dsum = g_tbg * t_bg                 # [256, 1]
-    # dL/dcum = ds ; dL/dlg direct = -ds + accept*dsum
-    dcum = ds
-    dlg = jax.lax.dot_general(
-        dcum, tri, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # dcum @ U^T
-    dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
-    dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
+        # w = accept * alpha * exp(s), s = cum - lg
+        ds = dw * w                         # dL/ds
+        dalpha = jnp.where(accept, dw * t_before, 0.0)
+        # t_bg = exp(sum_k accept*lg)
+        dsum = g_tbg * t_bg                 # [256, 1]
+        # dL/dcum = ds ; dL/dlg direct = -ds + accept*dsum
+        dcum = ds
+        dlg = jax.lax.dot_general(
+            dcum, tri, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # dcum @ U^T
+        dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
+        dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
 
-    live = use & (raw < ALPHA_MAX)
-    dalpha = jnp.where(live, dalpha, 0.0)
-    dpower = dalpha * raw               # d/dpower of opac*exp(power)
-    dopac_ref[0] = jnp.sum(
-        jnp.where(live, dalpha, 0.0) * jnp.exp(power), axis=0, keepdims=True
-    )
-    dcoeff_ref[0] = jax.lax.dot_general(
-        dpower, basis, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [K, 8]
+        live = use & (raw < ALPHA_MAX)
+        dalpha = jnp.where(live, dalpha, 0.0)
+        dpower = dalpha * raw               # d/dpower of opac*exp(power)
+        dopac_ref[b] = jnp.sum(
+            jnp.where(live, dalpha, 0.0) * jnp.exp(power), axis=0, keepdims=True
+        )
+        dcoeff_ref[b] = jax.lax.dot_general(
+            dpower, basis, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, 8]
+
+
+def _pad_tiles(x, tb):
+    pad = (-x.shape[0]) % tb
+    if pad == 0:
+        return x, 0
+    return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), pad
 
 
 def _run_forward(coeffs, colors, opacs, interpret=False):
+    TB = TILES_PER_BLOCK
+    coeffs, pad = _pad_tiles(coeffs, TB)
+    colors, _ = _pad_tiles(colors, TB)
+    opacs, _ = _pad_tiles(opacs, TB)
     T, K, _ = coeffs.shape
     C = colors.shape[-1]
     basis = _pixel_basis()
     tri = _tri(K)
-    grid = (T,)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _forward_body,
-        grid=grid,
+        grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((1, K, 8), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K, C), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, K, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, K, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, 1, K), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, P, 8), lambda i: (0, 0, 0)),
             pl.BlockSpec((K, K), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, P, C + 1), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((TB, P, C + 1), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, P, C + 1), jnp.float32),
         interpret=interpret,
     )(coeffs, colors, opacs, basis[None], tri)
+    return out[: T - pad] if pad else out
 
 
 def _run_backward(coeffs, colors, opacs, g, interpret=False):
+    TB = TILES_PER_BLOCK
+    T0 = coeffs.shape[0]
+    coeffs, pad = _pad_tiles(coeffs, TB)
+    colors, _ = _pad_tiles(colors, TB)
+    opacs, _ = _pad_tiles(opacs, TB)
+    g, _ = _pad_tiles(g, TB)
     T, K, _ = coeffs.shape
     C = colors.shape[-1]
     basis = _pixel_basis()
     tri = _tri(K)
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         _backward_body,
-        grid=(T,),
+        grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((1, K, 8), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K, C), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, K, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, K, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, 1, K), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, P, 8), lambda i: (0, 0, 0)),
             pl.BlockSpec((K, K), lambda i: (0, 0)),
-            pl.BlockSpec((1, P, C + 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, P, C + 1), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, K, 8), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K, C), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, K, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, K, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, 1, K), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, K, 8), jnp.float32),
@@ -197,6 +225,7 @@ def _run_backward(coeffs, colors, opacs, g, interpret=False):
         ],
         interpret=interpret,
     )(coeffs, colors, opacs, basis[None], tri, g)
+    return tuple(o[:T0] for o in outs)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
