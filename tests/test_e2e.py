@@ -46,7 +46,7 @@ class TestTrainLoop:
         p = params
         losses = []
         rng = jax.random.PRNGKey(1)
-        for i in range(15):
+        for i in range(10):
             rng, sub = jax.random.split(rng)
             p, opt_state, metrics = step(p, opt_state, batch, sub, jnp.int32(i))
             losses.append(float(metrics["total_loss"]))

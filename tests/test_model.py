@@ -147,7 +147,7 @@ class TestAvatar:
             return optax.apply_updates(p, updates), s, val
 
         losses = []
-        for _ in range(12):
+        for _ in range(8):
             params, state, val = step(params, state)
             losses.append(float(val))
         assert all(np.isfinite(losses))
