@@ -44,7 +44,12 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 def _depthwise_conv2d_same(img, kernel2d):
     """img: [C, H, W]; kernel2d: [k, k]. Zero same-padding, per-channel
-    (matches torch F.conv2d(groups=C, padding=k//2))."""
+    (matches torch F.conv2d(groups=C, padding=k//2)).
+
+    HIGHEST precision is required: at TPU-default bf16 precision the
+    SSIM variance terms conv(x^2) - mu^2 cancel catastrophically (error
+    ~1e-2 >> C2 = 9e-4), producing negative variances and SSIM >> 1.
+    """
     k = kernel2d.shape[0]
     x = img[None, :, :, :]  # [1, C, H, W]
     w = jnp.broadcast_to(kernel2d[None, None], (img.shape[0], 1, k, k))
@@ -54,6 +59,7 @@ def _depthwise_conv2d_same(img, kernel2d):
         padding=[(k // 2, k // 2), (k // 2, k // 2)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=img.shape[0],
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 
@@ -150,6 +156,7 @@ def _vgg_forward_features(params, x):
             h = jax.lax.conv_general_dilated(
                 h, c["w"], (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=jax.lax.Precision.HIGH,
             ) + c["b"][None, :, None, None]
             conv_idx += 1
             flat_idx += 1  # conv
