@@ -11,9 +11,19 @@ throughput on a single modern GPU — ~100 fwd+bwd rasterizations/s at
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: the rasterizer graphs take minutes to
+# compile through the remote-compile tunnel; cached reruns start fast.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import numpy as np
 
