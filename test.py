@@ -17,6 +17,9 @@ import numpy as np
 from d3ga_tpu.utils.log import logger
 
 from train import build_synthetic, load_config
+from d3ga_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def evaluate(config, iteration=None):

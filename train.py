@@ -18,6 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from d3ga_tpu.utils.log import logger
+from d3ga_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def load_config(path):
