@@ -135,3 +135,107 @@ class TestFKParity:
         ours = np.asarray(states_to_matrices(bind_j[None], states_j))
 
         np.testing.assert_allclose(ours, theirs, atol=5e-5)
+
+
+def synthetic_model_json(rng, J=4, V=12):
+    """Minimal momentum model json accepted by the reference's
+    LinearBlendSkinning constructor."""
+    bones = []
+    for j in range(J):
+        pre = rng.randn(4).astype(np.float32)
+        pre /= np.linalg.norm(pre)
+        bones.append({
+            "Name": f"j{j}",
+            "Parent": j - 1 if j > 0 else 2 * J + 10,  # root marker > nr_joints
+            "PreRotation": pre.tolist(),               # xyzw
+            "TranslationOffset": rng.randn(3).astype(np.float32).tolist(),
+        })
+    # skinning: each vertex weighted to <= 3 joints (flattened CSR)
+    weights, indices, offsets = [], [], [0]
+    for v in range(V):
+        k = rng.randint(1, 4)
+        js = rng.choice(J, size=k, replace=False)
+        ws = rng.rand(k).astype(np.float32)
+        ws /= ws.sum()
+        for j, w in zip(js, ws):
+            indices.append(int(j))
+            weights.append(float(w))
+        offsets.append(len(weights))
+    rest = rng.randn(V, 3).astype(np.float32)
+    model = {
+        "Skeleton": {"Bones": bones},
+        "SkinnedModel": {
+            "RestPositions": rest.tolist(),
+            "RestVertexNormals": rest.tolist(),
+            "SkinningWeights": list(zip(indices, weights)),
+            "SkinningOffsets": offsets,
+            "Faces": {"Indices": [0, 1, 2], "TextureIndices": [0, 1, 2]},
+            "TextureCoordinates": [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        },
+    }
+    lbs_cfg = {
+        "channel_names": ["tx", "ty", "tz", "rx", "ry", "rz", "sc"],
+        "transform_offsets": np.zeros((1, 7 * J), np.float32),
+        "transform": np.eye(7 * J, dtype=np.float32),
+        "limits": [],
+        "nr_scaling_params": 0,
+        "nr_position_params": 7 * J,
+    }
+    return model, lbs_cfg, rest
+
+
+class TestSkinningParity:
+    def test_full_forward_and_unpose(self):
+        from lbsmodel.body_model import LinearBlendSkinning
+
+        rng = np.random.RandomState(11)
+        model, lbs_cfg, rest = synthetic_model_json(rng)
+        ref = LinearBlendSkinning(model, lbs_cfg)
+
+        J = len(model["Skeleton"]["Bones"])
+        params = (rng.randn(2, 7 * J) * 0.4).astype(np.float32)
+        theirs = ref(
+            torch.from_numpy(params[:, : 7 * J]),
+            torch.zeros(2, 0),
+        ).numpy()
+
+        # Build the equivalent MomentumSkeleton.
+        parents = np.array(
+            [b["Parent"] if b["Parent"] <= J else -1 for b in model["Skeleton"]["Bones"]],
+            np.int32,
+        )
+        pre = np.array([b["PreRotation"] for b in model["Skeleton"]["Bones"]], np.float32)
+        pre_wxyz = pre[:, [3, 0, 1, 2]]
+        offs = np.array(
+            [b["TranslationOffset"] for b in model["Skeleton"]["Bones"]], np.float32
+        )
+        sw = ref.skin_weights.numpy()
+        si = ref.skin_indices.numpy().astype(np.int32)
+        skel = MomentumSkeleton(
+            joint_parents=jnp.asarray(parents),
+            joint_offset=jnp.asarray(offs),
+            joint_rotation=jnp.asarray(pre_wxyz),
+            transform=jnp.eye(7 * J),
+            transform_offsets=jnp.zeros(7 * J),
+            skin_weights=jnp.asarray(sw),
+            skin_indices=jnp.asarray(si),
+            bind_state=jnp.zeros((J, 8)),
+            template_verts=jnp.asarray(rest),
+        )
+        bind = solve_skeleton_states(skel, jnp.zeros((1, 7 * J)))[0]
+        skel = skel._replace(bind_state=bind)
+
+        from d3ga_tpu.body.lbs import skin_points, unskin_points
+
+        ours = np.asarray(skin_points(skel, jnp.asarray(params)))
+        np.testing.assert_allclose(ours, theirs, atol=5e-5)
+
+        # unskinning round-trip parity
+        theirs_un = ref.unpose(
+            torch.from_numpy(params), torch.zeros(2, 0),
+            torch.from_numpy(theirs),
+        ).numpy()
+        ours_un = np.asarray(
+            unskin_points(skel, jnp.asarray(params), jnp.asarray(ours))
+        )
+        np.testing.assert_allclose(ours_un, theirs_un, atol=5e-5)
