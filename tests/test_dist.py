@@ -140,3 +140,103 @@ class TestShardedTrainStep:
         # params actually changed
         l1 = np.asarray(p2["garments"]["body"]["colors_feat"])
         assert not np.allclose(l0, l1)
+
+
+class TestShardedLossParity:
+    def test_sharded_loss_matches_single_device(self):
+        """The sharded step's psum'd loss must equal the same objective
+        computed on one device (same frames, same per-frame rng)."""
+        import numpy as np
+
+        from d3ga_tpu.data.synthetic import (
+            build_synthetic_avatar,
+            checkerboard,
+            orbit_camera,
+        )
+        from d3ga_tpu.dist.mesh import make_mesh
+        from d3ga_tpu.dist.raster_shard import rasterize_collective  # noqa
+        from d3ga_tpu.dist.step_shard import (
+            make_sharded_train_step,
+            pad_params_for_shards,
+        )
+        from d3ga_tpu.model.avatar import avatar_forward, init_avatar
+        from d3ga_tpu.raster.tiles import rasterize_tiled
+        from d3ga_tpu.train.losses import l1_loss, ssim
+        from d3ga_tpu.train.optim import lr_tree_from_config, make_optimizer
+        from d3ga_tpu.train.step import LossWeights
+
+        mesh = make_mesh(data=2, model=4)
+        h = w = 48
+        B = 2
+        model, skel, lbs_dim = build_synthetic_avatar(
+            n_garments=1, n_gaussians=64, n_frames=4, n_cameras=2, n_joints=3
+        )
+        geoms = {g.name: g.geometry for g in model.garments}
+        params = pad_params_for_shards(init_avatar(jax.random.PRNGKey(0), model), 4)
+        lr_tree = lr_tree_from_config(params, {})
+        tx = make_optimizer(lr_tree)
+        step, shard_batch, shard_params = make_sharded_train_step(
+            model, tx, mesh, geoms, (h, w), B, max_per_tile=32
+        )
+        cams = [orbit_camera(0.3 * i, w, h) for i in range(B)]
+        board = checkerboard(h, w)
+        host_batch = {
+            "world_view": jnp.stack([c.world_view for c in cams]),
+            "full_proj": jnp.stack([c.full_proj for c in cams]),
+            "camera_center": jnp.stack([c.camera_center for c in cams]),
+            "tanfovx": jnp.stack([c.tanfovx for c in cams]),
+            "tanfovy": jnp.stack([c.tanfovy for c in cams]),
+            "lbs": jax.random.normal(jax.random.PRNGKey(1), (B, lbs_dim)) * 0.1,
+            "frame_idx": jnp.arange(B, dtype=jnp.int32),
+            "camera_idx": jnp.zeros(B, jnp.int32),
+            "image": jnp.stack([board] * B),
+            "alpha": jnp.ones((B, 1, h, w)),
+            "silhouette": jnp.full((B, 3, h, w), 0.5),
+        }
+        rng = jax.random.PRNGKey(7)
+
+        # single-device recomputation FIRST (the sharded step donates its
+        # param buffers, which may alias the originals via device_put)
+        # with the step_shard rng convention
+        lw = LossWeights()
+        total = 0.0
+        for b in range(B):
+            cam = cams[b]
+            frame = {
+                "camera": cam,
+                "lbs": host_batch["lbs"][b],
+                "frame_idx": host_batch["frame_idx"][b],
+                "camera_idx": host_batch["camera_idx"][b],
+            }
+            pkg = avatar_forward(params, model, frame, training=True)
+            # step_shard folds rng by global frame slot (data_idx * b_local + b)
+            bg = jax.random.uniform(jax.random.fold_in(rng, b), (3,))
+            pred, _ = rasterize_tiled(
+                pkg["means3D"], cam, bg, cov3d=pkg["cov3D_precomp"],
+                opacities=pkg["opacities"], colors=pkg["rgb"], max_per_tile=32,
+            )
+            sil, _ = rasterize_tiled(
+                pkg["means3D"], cam, jnp.zeros(3), cov3d=pkg["cov3D_precomp"],
+                opacities=pkg["opacities"], colors=pkg["silhouette_rgb"],
+                max_per_tile=32,
+            )
+            alpha = jnp.broadcast_to(host_batch["alpha"][b], (3, h, w))
+            gt = host_batch["image"][b] * alpha + (1 - alpha) * bg[:, None, None]
+            gt_sil = host_batch["silhouette"][b] * alpha
+            color = (1 - lw.lambda_dssim) * l1_loss(pred, gt) + lw.lambda_dssim * (
+                1.0 - ssim(pred, gt)
+            )
+            total += float(
+                color * lw.rgb_weight
+                + l1_loss(sil, gt_sil) * lw.sil_weight
+                + jnp.mean(pkg["frame_encoding"] ** 2) * 0.001
+                + pkg["scale_energy"].mean() * 175.0
+                + (pkg["fm_energy"].mean() + 3.0) * lw.fme_weight
+            )
+        single_loss = total / B
+
+        sp = shard_params(params)
+        opt_state = tx.init(sp)
+        _, _, metrics = step(sp, opt_state, shard_batch(host_batch), rng, jnp.int32(0))
+        sharded_loss = float(metrics["total_loss"])
+        np.testing.assert_allclose(sharded_loss, single_loss, rtol=2e-4)
