@@ -168,6 +168,7 @@ def make_sharded_train_step(
         "image": P("data"),
         "alpha": P("data"),
         "silhouette": P("data"),
+        "boundary_fg": P("data"),  # optional; dropped if absent
     }
 
     def loss_fn(params, batch, rng, iteration):
@@ -227,6 +228,10 @@ def make_sharded_train_step(
                 alpha = jnp.broadcast_to(batch_l["alpha"][b], batch_l["image"][b].shape)
                 gt = batch_l["image"][b] * alpha + (1 - alpha) * bg[:, None, None]
                 gt_sil = batch_l["silhouette"][b] * alpha
+                if "boundary_fg" in batch_l:
+                    bnd = 1.0 - batch_l["boundary_fg"][b]
+                    gt = gt * bnd + (1.0 - bnd) * bg[:, None, None]
+                    gt_sil = gt_sil * bnd
 
                 color = (1 - lw.lambda_dssim) * l1_loss(pred, gt) + lw.lambda_dssim * (
                     1.0 - ssim(pred, gt)
@@ -253,7 +258,7 @@ def make_sharded_train_step(
             in_specs=(
                 param_specs(params),
                 geometry_specs(geoms),
-                batch_spec,
+                {k: P("data") for k in batch},  # all batch leaves on "data"
                 P(),
             ),
             out_specs=P(),
@@ -269,7 +274,7 @@ def make_sharded_train_step(
 
     def shard_batch(batch):
         return {
-            k: jax.device_put(v, NamedSharding(mesh, batch_spec[k]))
+            k: jax.device_put(v, NamedSharding(mesh, batch_spec.get(k, P("data"))))
             for k, v in batch.items()
         }
 
