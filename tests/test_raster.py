@@ -327,3 +327,54 @@ class TestReferenceAsset:
         )(means)
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestRenderAPI:
+    def test_render_contract_and_paste(self):
+        """High-level render() mirrors the reference renderer contract
+        (`/root/reference/renderer.py:69-145`): pkg dict in, cropped
+        {"render": [C,H',W']} out, detach list honored."""
+        from d3ga_tpu.raster.api import RasterSettings, render
+
+        cam = simple_camera(w=64, h=48)
+        means, scales, rots, opac, colors = random_scene(jax.random.PRNGKey(0), n=30)
+        cov6 = strip_symmetric(covariance_from_scaling_rotation(scales, rots))
+        pkg = {
+            "means3D": means,
+            "cov3D_precomp": cov6,
+            "opacities": opac,
+            "rgb": colors,
+            "shs": None,
+            "sh_degree": 0,
+        }
+        # crop [left,right,top,bottom,W,H]: render 64x48 -> keep 60x40
+        batch = {"camera": cam, "crop": (30, 30, 20, 20, 60, 40)}
+        out = render(batch, pkg, bg_color=jnp.ones(3),
+                     settings=RasterSettings(max_per_tile=64))
+        assert out["render"].shape == (3, 40, 60)
+
+        # detach position: no gradient to means through the render
+        def loss(m):
+            p = dict(pkg, means3D=m)
+            o = render({"camera": cam, "crop": None}, p, jnp.ones(3),
+                       detach=("position",),
+                       settings=RasterSettings(max_per_tile=64))
+            return jnp.sum(o["render"])
+
+        g = jax.grad(loss)(means)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+    def test_config_interpolation(self, tmp_path):
+        from d3ga_tpu.utils.config import load_yaml_config
+
+        p = tmp_path / "c.yml"
+        p.write_text(
+            "capture_id: AXE\n"
+            "train:\n"
+            "  tag: d3ga\n"
+            "  run_dir: experiments/${.tag}/${capture_id}/\n"
+            "  ckpt_dir: ${.run_dir}/checkpoints\n"
+        )
+        cfg = load_yaml_config(str(p))
+        assert cfg["train"]["run_dir"] == "experiments/d3ga/AXE/"
+        assert cfg["train"]["ckpt_dir"] == "experiments/d3ga/AXE//checkpoints"
