@@ -150,6 +150,20 @@ class GoliathBody:
         return c2w
 
 
+def smplx_camera_to_world(Rh, Th, w2c, mocap: bool = True):
+    """Single-frame, fully traced version of
+    `SmplxBody.transform_cameras` (`/root/reference/lib/smplman.py:201-217`):
+    Rh [3] axis-angle, Th [3], w2c [3or4, 4] world->capture-camera.
+    Returns camera-to-world [4, 4] in the body frame. Differentiable in
+    Rh/Th so per-frame global-pose corrections receive gradients through
+    the rasterizer (the reference computes this host-side detached)."""
+    R = axis_angle_to_matrix(Rh[None])[0]
+    A = jnp.eye(4, dtype=jnp.float32).at[:3, :4].set(w2c[:3, :4])
+    B = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(Th)
+    full = A @ B if mocap else A
+    return jnp.linalg.inv(full)
+
+
 class SmplxBody:
     """SMPL-X body driver (ActorsHQ/THuman). Star pose: hip axis-angle
     +-pi/6 at pose dims 5, 8 (`smplman.py:122-129`)."""

@@ -167,6 +167,9 @@ class Batcher:
             frame["boundary_fg"] = boundary_fg.astype(np.float32)
         if smplx is not None:
             frame["smplx"] = smplx
+            # Raw capture extrinsics for the in-graph differentiable
+            # camera rebuild from optimizable Rh/Th (resolve_camera).
+            frame["cam_rt"] = _to44(Rt).astype(np.float32)
         if face_kpt is not None:
             frame["face_kpt"] = face_kpt.astype(np.float32)
         return frame

@@ -484,6 +484,10 @@ def build_capture_training(config: Dict, eval: bool = False):
     elif name == "actorshq":
         model, ds, body = build_smplx_avatar(config, eval=eval)
         if not eval:
+            extras = {}
+            if config.get("train", {}).get("use_opt_smplx", False) or \
+                    model.config.get("use_opt_smplx", False):
+                extras["smplx_init"] = smplx_init_tables(ds)
             # warmup split re-uses single frames for 100 steps during the
             # first 200k iterations (`train.py:118-133`,
             # `actorshq_dataset.py:219-226`); train.py alternates on the
@@ -496,7 +500,7 @@ def build_capture_training(config: Dict, eval: bool = False):
             ds2.warmup = False
             train_gen = _actorshq_frame_iter(config, ds2, body, model)
             return model, {"train": train_gen, "warmup": warmup_gen,
-                           "warmup_steps": 200_000}
+                           "warmup_steps": 200_000, **extras}
         return model, _actorshq_frame_iter(config, ds, body, model)
     else:
         raise ValueError(f"unknown dataset {name!r}")
@@ -539,6 +543,24 @@ def build_capture_training(config: Dict, eval: bool = False):
     return model, frame_iter()
 
 
+def smplx_init_tables(ds):
+    """Per-frame dataset SMPL-X init values for the optimizable
+    parameters (`/root/reference/models/garment_net.py:87-107`
+    `prepare_opt_tensors`): poses [F, 87], rh [F, 3], th [F, 3] indexed
+    by the dataset's frame_id (= position in frame_list)."""
+    poses, rh, th = [], [], []
+    for seq, frame in ds.frame_list:
+        s = ds.smplx[seq][int(frame)]
+        poses.append(np.asarray(s["poses"][:87], np.float32))
+        rh.append(np.asarray(s["Rh"], np.float32).reshape(3))
+        th.append(np.asarray(s["Th"], np.float32).reshape(3))
+    return {
+        "poses": np.stack(poses),
+        "rh": np.stack(rh),
+        "th": np.stack(th),
+    }
+
+
 def _actorshq_frame_iter(config, ds, body, model):
     """Host-side ActorsHQ frame iterator through the Batcher."""
     from d3ga_tpu.data.batcher import Batcher
@@ -576,6 +598,9 @@ def _actorshq_frame_iter(config, ds, body, model):
                 "camera": camera,
                 "lbs": jnp.asarray(frame["lbs"]),
                 "smplx_poses": jnp.asarray(sample["smplx"]["poses"][:87]),
+                # raw capture extrinsics: lets resolve_camera rebuild the
+                # camera in-graph from optimizable Rh/Th
+                "cam_rt": jnp.asarray(_to44(sample["Rt"]), jnp.float32),
                 "frame_idx": jnp.int32(sample["frame_id"]),
                 "camera_idx": jnp.int32(sample["order_cam_idx"]),
                 "image": jnp.asarray(frame["image"]),

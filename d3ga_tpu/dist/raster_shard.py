@@ -26,6 +26,7 @@ from d3ga_tpu.raster.project import project_gaussians, tile_rect
 from d3ga_tpu.raster.tiles import (
     BIG_RANK,
     TILE,
+    RasterAux,
     _blend_tiles,
     _select_per_tile,
 )
@@ -46,11 +47,14 @@ def rasterize_collective(
     sh_degree: int = 0,
     max_per_tile: int = 256,
 ):
-    """Rasterize from per-shard Gaussian arrays; returns the full
-    [C, H, W] image (replicated within the axis group).
+    """Rasterize from per-shard Gaussian arrays; returns (image, aux):
+    the full [C, H, W] image (replicated within the axis group) and a
+    RasterAux with tile-LOCAL counters (psum over `axis` for globals).
 
     Call inside shard_map with `axis` being the "model" mesh axis; all
-    local_* arrays hold this device's N/m shard.
+    local_* arrays hold this device's N/m shard. Same keyword contract
+    as `rasterize_tiled`, so `functools.partial(rasterize_collective,
+    axis=..., n_shards=...)` drops into `render_frame(rasterize_fn=...)`.
     """
     H, W = camera.height, camera.width
     n_tiles_x = -(-W // TILE)
@@ -139,8 +143,12 @@ def rasterize_collective(
         n_tiles_y * TILE, n_tiles_x * TILE, C + 1
     )[:H, :W]
     image = jnp.transpose(img[..., :C], (2, 0, 1))
-    overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow
-    return image, overflow
+    aux = RasterAux(
+        overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
+        max_per_tile=jnp.max(counts),
+        n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
+    )
+    return image, aux
 
 
 def rasterize_sharded(
@@ -202,7 +210,7 @@ def rasterize_sharded(
             tanfovx=tfx, tanfovy=tfy, width=W, height=H,
         )
         local = dict(zip(keys, vals))
-        img, overflow = rasterize_collective(
+        img, aux = rasterize_collective(
             means_local,
             cam,
             bg,
@@ -212,7 +220,7 @@ def rasterize_sharded(
             max_per_tile=max_per_tile,
             **{k: local.get(k) for k in args},
         )
-        return img, overflow
+        return img, jax.lax.psum(aux.overflow, axis)
 
     shard = P(axis)
     rep = P()

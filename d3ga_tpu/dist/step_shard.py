@@ -26,13 +26,11 @@ import optax
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from d3ga_tpu.fields import apply_learnable_blur, blur_reg
 from d3ga_tpu.dist.raster_shard import rasterize_collective
-from d3ga_tpu.model.avatar import AvatarModel, avatar_forward
+from d3ga_tpu.model.avatar import AvatarModel
 from d3ga_tpu.model.cage_model import CageGeometry
 from d3ga_tpu.raster.camera import Camera
-from d3ga_tpu.train.losses import l1_loss, ssim
-from d3ga_tpu.train.step import LossWeights
+from d3ga_tpu.train.step import LossWeights, render_frame, total_loss
 
 PER_GAUSSIAN_PARAMS = frozenset(
     {"colors_feat", "rotation", "scaling", "opacities", "features_dc", "features_rest"}
@@ -138,10 +136,17 @@ def make_sharded_train_step(
     max_per_tile: int = 256,
     loss_weights: LossWeights = LossWeights(),
     detach_silhouette=(),
+    vgg_params=None,
+    sh_degree: int = 0,
 ):
     """Returns (step, shard_batch) where step(params, opt_state, batch,
     rng, iteration) runs one sharded forward/backward/update and
     shard_batch places a host batch onto the mesh.
+
+    The per-frame objective is `train.step.render_frame` — the SAME loss
+    assembly as the single-device step (VGG, pixel_cal, blur, opt-pose
+    code reg, SH, fused 6-channel RGB+silhouette raster) with the
+    collective rasterizer dropped in via `rasterize_fn`.
 
     batch (stacked over B frames, B % data == 0):
       world_view/full_proj [B,4,4], camera_center [B,3], tanfov{x,y} [B],
@@ -171,10 +176,13 @@ def make_sharded_train_step(
         "boundary_fg": P("data"),  # optional; dropped if absent
     }
 
+    raster = partial(rasterize_collective, axis="model", n_shards=m)
+
     def loss_fn(params, batch, rng, iteration):
-        def sharded_loss(params, geoms_in, batch_l, rng_in):
+        def sharded_loss(params, geoms_in, batch_l, rng_in, it):
             total = 0.0
-            metrics = {}
+            psnr = 0.0
+            term_sums: Dict[str, jnp.ndarray] = {}
             my_data = jax.lax.axis_index("data")
             for b in range(b_local):
                 cam = Camera(
@@ -191,66 +199,41 @@ def make_sharded_train_step(
                     "lbs": batch_l["lbs"][b],
                     "frame_idx": batch_l["frame_idx"][b],
                     "camera_idx": batch_l["camera_idx"][b],
+                    "image": batch_l["image"][b],
+                    "alpha": batch_l["alpha"][b],
+                    "silhouette": batch_l["silhouette"][b],
                 }
-                pkg = avatar_forward(
-                    params, model, frame, training=True, geom_override=geoms_in
-                )
-                frame_rng = jax.random.fold_in(rng_in, my_data * b_local + b)
-                bg = jax.random.uniform(frame_rng, (3,))
-
-                pred, overflow = rasterize_collective(
-                    pkg["means3D"], cam, bg, axis="model", n_shards=m,
-                    cov3d=pkg.get("cov3D_precomp"),
-                    opacities=pkg["opacities"], colors=pkg["rgb"],
-                    shs=pkg["shs"] if pkg.get("rgb") is None else None,
-                    max_per_tile=max_per_tile,
-                )
-                sil_means = pkg["means3D"]
-                sil_cov = pkg.get("cov3D_precomp")
-                sil_opac = pkg["opacities"]
-                if "position" in detach_silhouette:
-                    sil_means = jax.lax.stop_gradient(sil_means)
-                if "covariance" in detach_silhouette and sil_cov is not None:
-                    sil_cov = jax.lax.stop_gradient(sil_cov)
-                if "opacity" in detach_silhouette:
-                    sil_opac = jax.lax.stop_gradient(sil_opac)
-                pred_sil, _ = rasterize_collective(
-                    sil_means, cam, jnp.zeros(3), axis="model", n_shards=m,
-                    cov3d=sil_cov, opacities=sil_opac,
-                    colors=pkg["silhouette_rgb"], max_per_tile=max_per_tile,
-                )
-
-                if "learnable_blur" in params:
-                    pred = apply_learnable_blur(
-                        params["learnable_blur"], pred, frame["camera_idx"]
-                    )
-
-                alpha = jnp.broadcast_to(batch_l["alpha"][b], batch_l["image"][b].shape)
-                gt = batch_l["image"][b] * alpha + (1 - alpha) * bg[:, None, None]
-                gt_sil = batch_l["silhouette"][b] * alpha
                 if "boundary_fg" in batch_l:
-                    bnd = 1.0 - batch_l["boundary_fg"][b]
-                    gt = gt * bnd + (1.0 - bnd) * bg[:, None, None]
-                    gt_sil = gt_sil * bnd
-
-                color = (1 - lw.lambda_dssim) * l1_loss(pred, gt) + lw.lambda_dssim * (
-                    1.0 - ssim(pred, gt)
+                    frame["boundary_fg"] = batch_l["boundary_fg"][b]
+                if "cam_rt" in batch_l:
+                    frame["cam_rt"] = batch_l["cam_rt"][b]
+                frame_rng = jax.random.fold_in(rng_in, my_data * b_local + b)
+                terms, aux = render_frame(
+                    params, model, frame, frame_rng,
+                    training=True,
+                    max_per_tile=max_per_tile,
+                    detach_silhouette=detach_silhouette,
+                    vgg_params=vgg_params,
+                    loss_weights=lw,
+                    iteration=it,
+                    sh_degree=sh_degree,
+                    rasterize_fn=raster,
+                    geom_override=geoms_in,
                 )
-                frame_loss = (
-                    color * lw.rgb_weight
-                    + l1_loss(pred_sil, gt_sil) * lw.sil_weight
-                    + jnp.mean(pkg["frame_encoding"] ** 2) * 0.001
-                    + pkg["scale_energy"].mean() * 175.0
-                    + (pkg["fm_energy"].mean() + 3.0) * lw.fme_weight
-                )
-                if "learnable_blur" in params:
-                    frame_loss = frame_loss + jnp.mean(
-                        jnp.abs(blur_reg(params["learnable_blur"], frame["camera_idx"]) - 1.0)
-                    ) * lw.blur_weight
-                total = total + frame_loss
-            contrib = total / (batch_size * m)
-            loss = jax.lax.psum(jax.lax.psum(contrib, "model"), "data")
-            return loss
+                total = total + total_loss(terms)
+                psnr = psnr + aux["psnr"]
+                for k, v in terms.items():
+                    term_sums[k] = term_sums.get(k, 0.0) + v
+            scale = 1.0 / (batch_size * m)
+            loss = jax.lax.psum(jax.lax.psum(total * scale, "model"), "data")
+            metrics = {
+                k: jax.lax.psum(jax.lax.psum(v * scale, "model"), "data")
+                for k, v in term_sums.items()
+            }
+            metrics["psnr"] = jax.lax.psum(
+                jax.lax.psum(psnr * scale, "model"), "data"
+            )
+            return loss, metrics
 
         return jax.shard_map(
             sharded_loss,
@@ -260,17 +243,22 @@ def make_sharded_train_step(
                 geometry_specs(geoms),
                 {k: P("data") for k in batch},  # all batch leaves on "data"
                 P(),
+                P(),
             ),
-            out_specs=P(),
+            out_specs=(P(), P()),
             check_vma=False,
-        )(params, geoms, batch, rng)
+        )(params, geoms, batch, rng, iteration)
 
     @partial(jax.jit, static_argnames=(), donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng, iteration):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng, iteration)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, iteration
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"total_loss": loss}
+        metrics = dict(metrics)
+        metrics["total_loss"] = loss
+        return params, opt_state, metrics
 
     def shard_batch(batch):
         return {

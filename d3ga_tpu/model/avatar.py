@@ -64,15 +64,27 @@ def _cfg(config, key, default):
     return config.get(key, default)
 
 
-def init_avatar(key, model: AvatarModel, init_smplx_poses=None):
+def init_avatar(
+    key, model: AvatarModel, init_smplx_poses=None, init_smplx_rh=None,
+    init_smplx_th=None,
+):
     """init_smplx_poses: optional [n_frames, 87] dataset poses enabling
     the optimizable per-frame SMPL-X corrections
-    (`garment_net.py:87-107`, `use_opt_smplx`)."""
+    (`garment_net.py:87-107`, `use_opt_smplx`). init_smplx_rh/th:
+    optional [n_frames, 3] global rotation (axis-angle) / translation;
+    when given (with use_opt_smplx) they become per-frame learnable and
+    the render camera is rebuilt in-graph (`prepare_opt_tensors`,
+    `garment_net.py:87-107` — but differentiable here, see
+    `resolve_camera`)."""
     cfg = model.config
     ks = jax.random.split(key, len(model.garments) + 6)
     params: Dict[str, Any] = {"garments": {}}
     if _cfg(cfg, "use_opt_smplx", False) and init_smplx_poses is not None:
         params["optimizable_poses"] = jnp.asarray(init_smplx_poses, jnp.float32)
+        if init_smplx_rh is not None:
+            params["optimizable_rotations"] = jnp.asarray(init_smplx_rh, jnp.float32)
+        if init_smplx_th is not None:
+            params["optimizable_translations"] = jnp.asarray(init_smplx_th, jnp.float32)
     for i, g in enumerate(model.garments):
         if g.primitive == "mesh":
             from d3ga_tpu.model.mesh_model import init_mesh_params
@@ -172,6 +184,46 @@ def eval_layer(params, model: AvatarModel, batch, names, training=False):
     return avatar_forward(params, sub, batch, training=training)
 
 
+def _freeze_after(p, iteration, limit=400_000):
+    """Stop-gradient once iteration > limit (`garment_net.py:224-227`)."""
+    frozen = jnp.asarray(iteration > limit, p.dtype)
+    return frozen * jax.lax.stop_gradient(p) + (1.0 - frozen) * p
+
+
+def resolve_camera(params, model: AvatarModel, batch, training: bool = True):
+    """Rebuild the render camera INSIDE the jitted graph from the
+    per-frame optimizable global rotation/translation.
+
+    The reference declares optimizable Rh/Th with LRs
+    (`garment_net.py:87-107`, `trainer.py` param groups) but builds the
+    camera host-side from the DATASET Rh/Th (`lib/batch.py:165-201`,
+    `.cpu().numpy()`), so those parameters never receive gradients.
+    Here the capture extrinsics ride in the batch (`cam_rt`) and the
+    body-frame camera is recomputed differentiably, making dL/dRh and
+    dL/dTh real. Returns the (possibly updated) batch."""
+    if (
+        not training
+        or "optimizable_rotations" not in params
+        or "cam_rt" not in batch
+    ):
+        return batch
+    from d3ga_tpu.body.drivers import smplx_camera_to_world
+    from d3ga_tpu.raster.camera import camera_from_c2w
+
+    fi = batch["frame_idx"]
+    it = batch.get("iteration", jnp.int32(0))
+    rh = _freeze_after(params["optimizable_rotations"][fi], it)
+    th = _freeze_after(params["optimizable_translations"][fi], it)
+    c2w = smplx_camera_to_world(
+        rh, th, batch["cam_rt"], mocap=_cfg(model.config, "mocap", True)
+    )
+    cam0 = batch["camera"]
+    cam = camera_from_c2w(
+        c2w, cam0.tanfovx, cam0.tanfovy, cam0.width, cam0.height
+    )
+    return dict(batch, camera=cam)
+
+
 def avatar_forward(
     params, model: AvatarModel, batch, training: bool = True, geom_override=None
 ):
@@ -195,10 +247,10 @@ def avatar_forward(
     # iterations (`garment_net.py:211-235`).
     opt_poses = None
     if "optimizable_poses" in params and training:
-        p = params["optimizable_poses"][batch["frame_idx"]]
-        it = batch.get("iteration", jnp.int32(0))
-        frozen = jnp.asarray(it > 400_000, p.dtype)
-        opt_poses = frozen * jax.lax.stop_gradient(p) + (1.0 - frozen) * p
+        opt_poses = _freeze_after(
+            params["optimizable_poses"][batch["frame_idx"]],
+            batch.get("iteration", jnp.int32(0)),
+        )
         batch = dict(batch, smplx_poses=opt_poses)
 
     # Conditioning pose vector (`models/cage_net.py:166-185`): momentum

@@ -105,11 +105,18 @@ def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def axis_angle_to_quat(aa: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Axis-angle [..., 3] -> quaternion [..., 4] (w, x, y, z)."""
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    """Axis-angle [..., 3] -> quaternion [..., 4] (w, x, y, z).
+
+    Gradient-safe at aa = 0: the norm is computed through a clamped
+    square (d sqrt(max(sq, eps^2))/d aa -> 0 instead of NaN) and the
+    small-angle sinc branch depends on aa only through sq, so
+    d(aa*sinc)/d(aa) -> 0.5 — the correct Rodrigues limit. This matters
+    for optimizable global rotations initialized at exactly zero."""
+    sq = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.maximum(sq, eps * eps))
     half = 0.5 * angle
-    # sin(x)/x stable near zero
-    sinc = jnp.where(angle < eps, 0.5 - angle**2 / 48.0, jnp.sin(half) / jnp.maximum(angle, eps))
+    # sin(x/2)/x, stable + grad-safe near zero (0.5 - x^2/48 + ...)
+    sinc = jnp.where(angle < 1e-4, 0.5 - sq / 48.0, jnp.sin(half) / angle)
     return jnp.concatenate([jnp.cos(half), aa * sinc], axis=-1)
 
 

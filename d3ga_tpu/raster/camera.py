@@ -101,6 +101,41 @@ def camera_from_matrices(world_view, full_proj, tanfovx, tanfovy, width, height)
     )
 
 
+def projection_from_tan(tanfovx, tanfovy, znear=0.01, zfar=100.0, dtype=jnp.float32):
+    """Traced-value counterpart of `projection_matrix` (same math,
+    `utils/graphics_utils.py:55-75`) for cameras rebuilt inside the
+    jitted graph from learned pose corrections."""
+    z = jnp.zeros((), dtype)
+    row0 = jnp.stack([1.0 / tanfovx, z, z, z])
+    row1 = jnp.stack([z, 1.0 / tanfovy, z, z])
+    row2 = jnp.stack(
+        [z, z, jnp.full((), zfar / (zfar - znear), dtype),
+         jnp.full((), -(zfar * znear) / (zfar - znear), dtype)]
+    )
+    row3 = jnp.stack([z, z, jnp.ones((), dtype), z])
+    return jnp.stack([row0, row1, row2, row3])
+
+
+def camera_from_c2w(c2w, tanfovx, tanfovy, width, height, znear=0.01, zfar=100.0) -> Camera:
+    """Differentiable Camera from a traced camera-to-world [4,4]: the
+    in-graph endpoint of the optimizable-Rh/Th path (the reference
+    computes this transform host-side detached, `lib/batch.py:165-201`;
+    here gradients flow from pixels back into the global pose)."""
+    w2c = jnp.linalg.inv(c2w)
+    proj = projection_from_tan(
+        jnp.asarray(tanfovx, w2c.dtype), jnp.asarray(tanfovy, w2c.dtype), znear, zfar
+    )
+    return Camera(
+        world_view=w2c,
+        full_proj=proj @ w2c,
+        camera_center=c2w[:3, 3],
+        tanfovx=jnp.asarray(tanfovx, jnp.float32),
+        tanfovy=jnp.asarray(tanfovy, jnp.float32),
+        width=int(width),
+        height=int(height),
+    )
+
+
 def ndc2pix(v, size):
     """NDC [-1,1] -> pixel coordinate (`lib/cameras.py:77-78`)."""
     return ((v + 1.0) * size - 1.0) * 0.5

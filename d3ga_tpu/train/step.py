@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from d3ga_tpu.fields import apply_learnable_blur, apply_pixel_bias, blur_reg
-from d3ga_tpu.model.avatar import AvatarModel, avatar_forward
+from d3ga_tpu.model.avatar import AvatarModel, avatar_forward, resolve_camera
 from d3ga_tpu.raster.tiles import rasterize_tiled
 from d3ga_tpu.train.losses import l1_loss, ssim, vgg_loss
 
@@ -51,15 +51,30 @@ def render_frame(
     loss_weights: LossWeights = LossWeights(),
     iteration=0,
     sh_degree: int = 0,
+    rasterize_fn=None,
+    geom_override=None,
 ):
     """Forward + two rasterizations + per-frame loss terms.
 
     Returns (loss_terms dict, aux dict with images).
+
+    `rasterize_fn(means, camera, bg, **kwargs) -> (image, RasterAux)`
+    defaults to the single-device `rasterize_tiled`; the sharded step
+    passes a `rasterize_collective` partial so BOTH steps share this one
+    loss assembly (`/root/reference/train.py:190-258`,
+    `models/trainer.py:91-140`).
     """
+    if rasterize_fn is None:
+        rasterize_fn = rasterize_tiled
     cfg = model.config
-    camera = batch["camera"]
     batch = dict(batch, iteration=iteration)
-    pkg = avatar_forward(params, model, batch, training=training)
+    # In-graph camera rebuild from optimizable per-frame Rh/Th (no-op
+    # unless the params + batch["cam_rt"] are present).
+    batch = resolve_camera(params, model, batch, training=training)
+    camera = batch["camera"]
+    pkg = avatar_forward(
+        params, model, batch, training=training, geom_override=geom_override
+    )
 
     if training:
         bg = jax.random.uniform(rng, (3,))
@@ -77,7 +92,7 @@ def render_frame(
         # detach anything.
         colors6 = jnp.concatenate([pkg["rgb"], pkg["silhouette_rgb"]], axis=-1)
         bg6 = jnp.concatenate([bg, jnp.zeros(3)])
-        both, aux_rgb = rasterize_tiled(
+        both, aux_rgb = rasterize_fn(
             pkg["means3D"], camera, bg6,
             cov3d=pkg.get("cov3D_precomp"),
             scales=pkg.get("scales"),
@@ -89,7 +104,7 @@ def render_frame(
         pred_image = both[:3]
         pred_sil = both[3:]
     else:
-        pred_image, aux_rgb = rasterize_tiled(
+        pred_image, aux_rgb = rasterize_fn(
             pkg["means3D"], camera, bg,
             cov3d=pkg.get("cov3D_precomp"),
             scales=pkg.get("scales"),
@@ -110,7 +125,7 @@ def render_frame(
             sil_cov = jax.lax.stop_gradient(sil_cov)
         if "opacity" in detach_silhouette:
             sil_opac = jax.lax.stop_gradient(sil_opac)
-        pred_sil, _ = rasterize_tiled(
+        pred_sil, _ = rasterize_fn(
             sil_means, camera, jnp.zeros(3),
             cov3d=sil_cov,
             scales=pkg.get("scales"),

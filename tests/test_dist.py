@@ -240,3 +240,100 @@ class TestShardedLossParity:
         _, _, metrics = step(sp, opt_state, shard_batch(host_batch), rng, jnp.int32(0))
         sharded_loss = float(metrics["total_loss"])
         np.testing.assert_allclose(sharded_loss, single_loss, rtol=2e-4)
+
+    def test_full_feature_parity(self):
+        """Sharded step == single-device render_frame over the FULL loss
+        surface: VGG, pixel_cal, learnable blur, optimizable-pose code
+        reg, color calib, fused 6-channel RGB+silhouette raster."""
+        import numpy as np
+
+        from d3ga_tpu.data.synthetic import (
+            build_synthetic_avatar,
+            checkerboard,
+            orbit_camera,
+        )
+        from d3ga_tpu.dist.mesh import make_mesh
+        from d3ga_tpu.dist.step_shard import (
+            make_sharded_train_step,
+            pad_params_for_shards,
+        )
+        from d3ga_tpu.model.avatar import init_avatar
+        from d3ga_tpu.train.losses import init_vgg19_features
+        from d3ga_tpu.train.optim import lr_tree_from_config, make_optimizer
+        from d3ga_tpu.train.step import LossWeights, render_frame, total_loss
+
+        mesh = make_mesh(data=2, model=4)
+        h = w = 48
+        B = 2
+        model, skel, lbs_dim = build_synthetic_avatar(
+            n_garments=1, n_gaussians=64, n_frames=4, n_cameras=2, n_joints=3,
+            config_overrides={
+                "use_blur": True,
+                "use_pixel_cal": True,
+                "image_height": h,
+                "image_width": w,
+                "use_opt_smplx": True,
+            },
+        )
+        geoms = {g.name: g.geometry for g in model.garments}
+        init_poses = (
+            jax.random.normal(jax.random.PRNGKey(5), (4, lbs_dim)) * 0.1
+        )
+        params = pad_params_for_shards(
+            init_avatar(jax.random.PRNGKey(0), model, init_smplx_poses=init_poses), 4
+        )
+        vgg_params = init_vgg19_features(jax.random.PRNGKey(11))
+        lw = LossWeights(enable_vgg_from=1)
+        lr_tree = lr_tree_from_config(params, {})
+        tx = make_optimizer(lr_tree)
+        step, shard_batch, shard_params = make_sharded_train_step(
+            model, tx, mesh, geoms, (h, w), B, max_per_tile=32,
+            loss_weights=lw, vgg_params=vgg_params,
+        )
+        cams = [orbit_camera(0.3 * i, w, h) for i in range(B)]
+        board = checkerboard(h, w)
+        host_batch = {
+            "world_view": jnp.stack([c.world_view for c in cams]),
+            "full_proj": jnp.stack([c.full_proj for c in cams]),
+            "camera_center": jnp.stack([c.camera_center for c in cams]),
+            "tanfovx": jnp.stack([c.tanfovx for c in cams]),
+            "tanfovy": jnp.stack([c.tanfovy for c in cams]),
+            "lbs": jax.random.normal(jax.random.PRNGKey(1), (B, lbs_dim)) * 0.1,
+            "frame_idx": jnp.arange(B, dtype=jnp.int32),
+            "camera_idx": jnp.zeros(B, jnp.int32),
+            "image": jnp.stack([board] * B),
+            "alpha": jnp.ones((B, 1, h, w)),
+            "silhouette": jnp.full((B, 3, h, w), 0.5),
+        }
+        rng = jax.random.PRNGKey(7)
+        it = jnp.int32(2)  # > enable_vgg_from: VGG term is LIVE
+
+        # single-device reference via the SHARED loss assembly
+        total = 0.0
+        for b in range(B):
+            frame = {
+                "camera": cams[b],
+                "lbs": host_batch["lbs"][b],
+                "frame_idx": host_batch["frame_idx"][b],
+                "camera_idx": host_batch["camera_idx"][b],
+                "image": host_batch["image"][b],
+                "alpha": host_batch["alpha"][b],
+                "silhouette": host_batch["silhouette"][b],
+            }
+            terms, _ = render_frame(
+                params, model, frame, jax.random.fold_in(rng, b),
+                training=True, max_per_tile=32, vgg_params=vgg_params,
+                loss_weights=lw, iteration=it,
+            )
+            assert "vgg_loss" in terms and float(terms["vgg_loss"]) != 0.0
+            assert "blur_loss" in terms
+            assert float(terms["codes_reg"]) > 0.0
+            total += float(total_loss(terms))
+        single_loss = total / B
+
+        sp = shard_params(params)
+        opt_state = tx.init(sp)
+        _, _, metrics = step(sp, opt_state, shard_batch(host_batch), rng, it)
+        np.testing.assert_allclose(
+            float(metrics["total_loss"]), single_loss, rtol=2e-4
+        )

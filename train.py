@@ -139,7 +139,17 @@ def training(config):
     else:
         model, frames = build_capture(config)
 
-    params = init_avatar(jax.random.PRNGKey(tcfg.get("seed", 17)), model)
+    init_kwargs = {}
+    if isinstance(frames, dict) and "smplx_init" in frames:
+        si = frames.pop("smplx_init")
+        init_kwargs = dict(
+            init_smplx_poses=si["poses"],
+            init_smplx_rh=si["rh"],
+            init_smplx_th=si["th"],
+        )
+    params = init_avatar(
+        jax.random.PRNGKey(tcfg.get("seed", 17)), model, **init_kwargs
+    )
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"Total number of parameters {n_params}")
 
