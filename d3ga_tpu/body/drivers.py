@@ -114,6 +114,21 @@ class GoliathBody:
         geom = jnp.einsum("bij,bvj->bvi", RT[:, :3, :3], geom) + RT[:, None, :3, 3]
         return geom + self.center_mass
 
+    def with_skeleton(self, skeleton: MomentumSkeleton) -> "GoliathBody":
+        """Shallow copy driving a different skinned template (e.g. cage
+        nodes with transferred weights, `lib/cage_blueman.py:102-116`)
+        while keeping THIS body's center-of-mass shift and scaling —
+        the cage must land in the same body-centric frame."""
+        out = GoliathBody.__new__(GoliathBody)
+        out.skeleton = skeleton
+        out.scales = self.scales
+        out.global_scaling = self.global_scaling
+        out.n_pose = self.n_pose
+        out.root_joint = self.root_joint
+        out.rot180 = self.rot180
+        out.center_mass = self.center_mass
+        return out
+
     def canonical_kpt(self, motion, kpt, nose_vertex: int = 81545):
         """Face keypoints -> canonical head space via the inverse of the
         nose vertex's blended skinning transform

@@ -163,8 +163,10 @@ def build_goliath_avatar(config: Dict):
             template_verts=geom.cage_points,
         )
 
-        def pose_nodes(batch, delta=None, _skel=cage_skel, _body=body):
-            verts = _skel.template_verts
+        cage_body = body.with_skeleton(cage_skel)
+
+        def pose_nodes(batch, delta=None, _body=cage_body):
+            verts = _body.skeleton.template_verts
             if delta is not None:
                 verts = verts + delta
             # unpose->pose composite handled by driver units
@@ -184,12 +186,21 @@ def build_goliath_avatar(config: Dict):
             )
         )
 
+    avatar_cfg = avatar_config_from(config)
+    if avatar_cfg.get("use_face_emb"):
+        # n_valid_kpts sizes the face decoder input
+        # (`garment_net.py:83-85`); the keypoint mask/mean/std live in
+        # the shared assets.
+        mask = np.asarray(
+            assets.get("face_kpt_mask", np.ones(137, bool))
+        ).astype(bool)
+        avatar_cfg["n_valid_kpts"] = int(mask.sum())
     model = AvatarModel(
         garments=tuple(garments),
         cond_dim=98,
         n_frames=len(ds.get_frame_list()),
         n_cameras=len(ds.cameras),
-        config=avatar_config_from(config),
+        config=avatar_cfg,
     )
     return model, ds, body
 
@@ -294,6 +305,10 @@ def avatar_config_from(config: Dict) -> Dict:
         "color_mlp": config.get("color_mlp"),
         "scale_bary": config.get("canon_mlp", {}).get("scale_bary", 0.25),
         "background": tcfg.get("background", "white"),
+        "use_face_emb": tcfg.get("use_face_emb", False),
+        "face_embed_dim": tcfg.get("face_embed_dim", 128),
+        "use_opt_smplx": tcfg.get("use_opt_smplx", False),
+        "mocap": config.get("dataset_name") != "thuman4",
     }
 
 
@@ -507,6 +522,32 @@ def build_capture_training(config: Dict, eval: bool = False):
 
     batcher = Batcher(config, body_model=body)
 
+    use_face = model.config.get("use_face_emb", False)
+    if use_face:
+        assets = ds.load_shared_assets()
+        kpt_mask = np.asarray(
+            assets.get("face_kpt_mask", np.ones(137, bool))
+        ).astype(bool)
+        kpt_mean = np.asarray(
+            assets.get("face_kpt_mean", np.zeros((int(kpt_mask.sum()), 3))),
+            np.float32,
+        )
+        kpt_std = np.asarray(
+            assets.get("face_kpt_std", np.ones((int(kpt_mask.sum()), 3))),
+            np.float32,
+        )
+        nose_vertex = int(config.get("data", {}).get("nose_vertex", 81545))
+
+    def canonical_face_kpt(lbs, face_kpt):
+        """face_kpt [Nk, 4] -> normalized canonical keypoints for the
+        face decoder (`garment_net.py:180-194` + `blueman.py:123-139`)."""
+        kpt = jnp.asarray(face_kpt[:, :3], jnp.float32)
+        canon, _, _ = body.canonical_kpt(
+            jnp.asarray(lbs)[None], kpt[None], nose_vertex=nose_vertex
+        )
+        k = np.asarray(canon)[0][kpt_mask[: len(face_kpt)]]
+        return jnp.asarray((k - kpt_mean[: len(k)]) / kpt_std[: len(k)])
+
     def frame_iter():
         import jax
 
@@ -527,9 +568,10 @@ def build_capture_training(config: Dict, eval: bool = False):
                 order_cam_idx=ci,
                 seg_fg=sample.get("seg_fg", [None])[0],
                 boundary_fg=sample.get("boundary_fg"),
+                face_kpt=sample.get("face_kpt"),
             )
             camera = batcher.make_camera(frame)
-            yield {
+            out = {
                 "camera": camera,
                 "lbs": jnp.asarray(frame["lbs"]),
                 "frame_idx": jnp.int32(fi),
@@ -539,6 +581,11 @@ def build_capture_training(config: Dict, eval: bool = False):
                 "silhouette": jnp.asarray(frame["silhouette"]),
                 "crop": frame["crop"],
             }
+            if use_face and "face_kpt" in frame:
+                out["face_kpt_canonical"] = canonical_face_kpt(
+                    frame["lbs"], frame["face_kpt"]
+                )
+            yield out
 
     return model, frame_iter()
 

@@ -143,6 +143,27 @@ class GoliathDataset:
         data = self._zip_read("keypoints_3d/keypoints_3d.zip", f"{frame:06d}.json")
         return json.loads(data)
 
+    def load_face_kpt(self, frame: int) -> Optional[np.ndarray]:
+        """[Nk, 4] (x, y, z, confidence) face keypoints from the
+        keypoints_3d zip (`goliath_dataset.py:219-227`; consumed as
+        `batch["face_kpt"][:, 0:3]` + conf/100 in
+        `models/garment_net.py:180-194`). Accepts either a flat list of
+        4-vectors or a dict with a "keypoints_3d" key."""
+        try:
+            kp = self.load_3d_keypoints(frame)
+        except (KeyError, FileNotFoundError, zipfile.BadZipFile):
+            return None
+        if isinstance(kp, dict):
+            kp = kp.get("keypoints_3d", kp.get("keypoints"))
+        if kp is None:
+            return None
+        arr = np.asarray(kp, np.float32)
+        if arr.ndim != 2:
+            return None
+        if arr.shape[1] == 3:
+            arr = np.concatenate([arr, np.full((len(arr), 1), 100.0, np.float32)], 1)
+        return arr[:, :4]
+
     @lru_cache(maxsize=1)
     def load_template_mesh(self):
         with open(self.root_path / "kinematic_tracking" / "template_mesh.ply", "rb") as f:
@@ -188,7 +209,7 @@ class GoliathDataset:
             return None
         seg_fg = (seg_part != 0).astype(np.float32)
         cam = self.get_camera_parameters(camera)
-        return {
+        sample = {
             "camera_id": camera,
             "frame_id": frame,
             "image": self._downsample_half(image.astype(np.float32)),
@@ -198,6 +219,10 @@ class GoliathDataset:
             "lbs_motion": pose,
             **cam,
         }
+        face_kpt = self.load_face_kpt(frame)
+        if face_kpt is not None:
+            sample["face_kpt"] = face_kpt
+        return sample
 
     def __len__(self):
         return len(self.get_frame_list()) * len(self.cameras)
