@@ -10,11 +10,13 @@ shapes; the reference re-renders at a per-frame size instead).
 """
 
 import math
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
 
 from d3ga_tpu.data.image_ops import (
+    apply_ccm,
     close_holes,
     erode_mask,
     linear2color_corr,
@@ -58,9 +60,31 @@ class Batcher:
         self.use_erode_mask = train.get("erode_mask", False)
         self.use_close_holes = train.get("close_holes", False)
         self.bg_color = str(train.get("background", "white")).lower()
+        # Per-camera CCM color calibration (`lib/batch.py:63-92`): json
+        # {"camera<ID>": {"ccm": 3x3}, ...}.
+        self.col_calib = None
+        calib_path = train.get("color_calibration")
+        if calib_path and os.path.exists(calib_path):
+            self.col_calib = self.load_calibration_params(calib_path)
 
-    def calibrate_color(self, image_u8: np.ndarray) -> np.ndarray:
-        """image_u8: [3, H, W] in [0, 255] -> [0,1] calibrated."""
+    @staticmethod
+    def load_calibration_params(params_json: str) -> Dict[str, np.ndarray]:
+        import json
+
+        with open(params_json, "r") as f:
+            data = json.load(f)
+        return {k: np.asarray(v["ccm"], np.float32) for k, v in data.items()}
+
+    def calibrate_color(self, image_u8: np.ndarray, camera_id=None):
+        """image_u8: [3, H, W] in [0, 255] -> [0,1] calibrated; per-camera
+        CCM when a calibration file is loaded (`lib/batch.py:78-92`).
+        Returns None if calibration exists but lacks this camera (the
+        reference skips such frames)."""
+        if self.col_calib is not None and camera_id is not None:
+            key = f"camera{camera_id}"
+            if key not in self.col_calib:
+                return None
+            return apply_ccm(image_u8, self.col_calib[key])
         img = image_u8.astype(np.float32) / 255.0
         if self.use_gamma_space:
             return linear2color_corr(img, dim=0)
@@ -122,7 +146,9 @@ class Batcher:
         if alpha.ndim == 2:
             alpha = alpha[None]
 
-        calib = self.calibrate_color(image_u8)
+        calib = self.calibrate_color(image_u8, camera_id=camera_id)
+        if calib is None:
+            return None  # calibration exists but lacks this camera
         if self.bg_color == "white":
             bg_img = calib * fg + (1.0 - fg)
         else:

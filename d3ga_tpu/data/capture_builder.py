@@ -276,6 +276,8 @@ def load_or_build_face_labels(config, ds, body, body_faces, cache_dir):
             sample["image"], sample["K"], sample["Rt"], sample["seg_part"][0],
             sample["lbs_motion"],
         )
+        if frame is None:
+            continue
         camera = batcher.make_camera(frame)
         verts = np.asarray(body.get(jnp.asarray(sample["lbs_motion"])[None]))[0]
         seg.add_frame(verts, body_faces, camera, np.asarray(sample["seg_part"][0]))
@@ -570,6 +572,8 @@ def build_capture_training(config: Dict, eval: bool = False):
                 boundary_fg=sample.get("boundary_fg"),
                 face_kpt=sample.get("face_kpt"),
             )
+            if frame is None:
+                continue
             camera = batcher.make_camera(frame)
             out = {
                 "camera": camera,
@@ -640,6 +644,8 @@ def _actorshq_frame_iter(config, ds, body, model):
                 seg_fg=sample["seg_fg"][0],
                 boundary_fg=sample["boundary_fg"],
             )
+            if frame is None:
+                continue
             camera = batcher.make_camera(frame)
             yield {
                 "camera": camera,

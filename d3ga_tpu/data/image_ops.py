@@ -42,6 +42,30 @@ def linear2srgb(img: np.ndarray, gamma: float = 2.4) -> np.ndarray:
     return np.where(img <= 0.0031308, linear_part, exp_part)
 
 
+# CIE XYZ -> linear sRGB (the matrix kornia's xyz_to_rgb uses; inverse
+# of the ITU-R BT.709 rgb->xyz primaries).
+XYZ_TO_RGB = np.array(
+    [
+        [3.2404813432005266, -1.5371515162713185, -0.4985363261688878],
+        [-0.9692549499965682, 1.8759900014898907, 0.0415559265582928],
+        [0.0556466391351772, -0.2040413383665112, 1.0573110696453443],
+    ],
+    np.float32,
+)
+
+
+def apply_ccm(image_255: np.ndarray, ccm: np.ndarray) -> np.ndarray:
+    """Per-camera color-correction-matrix calibration
+    (`/root/reference/lib/batch.py:71-77` `process_color`):
+    ((img - 2)/255) [C,H,W] -> HWC @ ccm (device XYZ) -> linear sRGB ->
+    sRGB encode. Returns [C, H, W] in [0, 1]-ish (unclamped like the
+    reference)."""
+    im = (image_255.astype(np.float32) - 2.0) / 255.0
+    im_xyz = np.einsum("chw,ck->khw", im, np.asarray(ccm, np.float32))
+    im_rgb = np.einsum("rk,khw->rhw", XYZ_TO_RGB, im_xyz)
+    return linear2srgb(im_rgb)
+
+
 def median_blur(mask: np.ndarray, k: int = 7) -> np.ndarray:
     """Median filter of a [1, H, W] or [H, W] float mask in [0,1] (kornia
     median_blur equivalent in the Batcher alpha path, `lib/batch.py:157`).

@@ -135,3 +135,55 @@ class TestSegmentation:
         labels = s.run(faces)
         assert labels[0] == 1 and labels[1] == 1
         assert labels[2] == 2 and labels[3] == 2
+
+
+class TestCCMColorCalibration:
+    """Per-camera CCM path (`/root/reference/lib/batch.py:63-92`)."""
+
+    def _ccm_json(self, tmp_path):
+        import json
+
+        ccm = np.array([[0.9, 0.05, 0.0], [0.1, 1.1, 0.0], [0.0, 0.0, 1.2]])
+        path = tmp_path / "ccm.json"
+        with open(path, "w") as f:
+            json.dump({"camera400123": {"ccm": ccm.tolist()}}, f)
+        return str(path), ccm
+
+    def test_apply_ccm_matches_hand_computation(self):
+        from d3ga_tpu.data.image_ops import XYZ_TO_RGB, apply_ccm, linear2srgb
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, size=(3, 4, 5)).astype(np.float32)
+        ccm = np.array([[1.1, 0.0, 0.1], [0.0, 0.9, 0.0], [0.05, 0.0, 1.0]], np.float32)
+        out = apply_ccm(img, ccm)
+        # hand-compute one pixel: ((v-2)/255) (as a row vector) @ ccm,
+        # then XYZ->linear RGB, then sRGB encode
+        v = (img[:, 2, 3] - 2.0) / 255.0
+        xyz = v @ ccm
+        rgb = XYZ_TO_RGB @ xyz
+        np.testing.assert_allclose(out[:, 2, 3], linear2srgb(rgb), rtol=1e-5)
+
+    def test_batcher_uses_ccm_and_skips_unknown_camera(self, tmp_path):
+        from d3ga_tpu.data.batcher import Batcher
+        from d3ga_tpu.data.image_ops import apply_ccm
+
+        path, ccm = self._ccm_json(tmp_path)
+        b = Batcher({"train": {"color_calibration": path, "background": "black"},
+                     "cages": {"body": {"label_id": [-1]}}})
+        img = np.full((3, 6, 8), 128.0, np.float32)
+        out = b.calibrate_color(img, camera_id="400123")
+        np.testing.assert_allclose(out, apply_ccm(img, ccm), rtol=1e-6)
+        # unknown camera -> None (reference skips the frame)
+        assert b.calibrate_color(img, camera_id="999999") is None
+        K = np.array([[40.0, 0, 16.4], [0, 40.0, 12.6], [0, 0, 1]])
+        Rt = np.concatenate([np.eye(3), [[0], [0], [3.0]]], axis=1)
+        frame = b.process_frame(
+            img, K, Rt, np.ones((6, 8), np.int32), np.zeros(9, np.float32),
+            camera_id="999999",
+        )
+        assert frame is None
+        # no calibration file -> plain /255
+        b2 = Batcher({"train": {"background": "black"}, "cages": {}})
+        np.testing.assert_allclose(
+            b2.calibrate_color(img, camera_id="400123"), img / 255.0
+        )

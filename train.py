@@ -39,12 +39,20 @@ def check_loss(metrics, iteration):
         raise ValueError("loss is NaN")
 
 
-def build_synthetic(config):
+def build_synthetic(config, split="train", return_teacher=False):
     """Self-consistent synthetic task: a hidden 'teacher' avatar (same
     architecture, different seed) renders the ground-truth images and
     silhouettes for every (frame, camera); the trained 'student' must
     reproduce them — so the losses are actually minimizable and eval
-    metrics are meaningful."""
+    metrics are meaningful.
+
+    Held-out protocol (mirrors the capture datasets' test-camera split,
+    `actorshq_dataset.py:219-226`): with >1 camera, the LAST camera is
+    excluded from training and `split="test"` iterates it
+    deterministically over all frames. `return_teacher` additionally
+    returns teacher_render(lbs, camera, frame_idx, camera_idx) ->
+    (image, alpha, silhouette) so trajectories (CAM_360) can be scored
+    against ground truth."""
     from d3ga_tpu.data.synthetic import build_synthetic_avatar, orbit_camera
     from d3ga_tpu.model.avatar import avatar_forward, init_avatar
     from d3ga_tpu.raster.tiles import rasterize_tiled
@@ -61,6 +69,7 @@ def build_synthetic(config):
         config_overrides={
             "use_blur": tcfg.get("use_blur", False),
             "use_color_calib": tcfg.get("use_color_calib", True),
+            "use_opt_smplx": tcfg.get("use_opt_smplx", False),
         },
     )
     model, skel, lbs_dim = build_synthetic_avatar(**kwargs)
@@ -93,31 +102,63 @@ def build_synthetic(config):
         return img, alpha, sil
 
     cache = {}
+    # hold out the last camera from training (>=2 cameras)
+    n_train_cams = model.n_cameras - 1 if model.n_cameras > 1 else 1
+
+    def get_frame(fi, ci):
+        if (fi, ci) not in cache:
+            pose = jax.random.normal(jax.random.PRNGKey(fi), (lbs_dim,)) * 0.1
+            img, alpha, sil = teacher_render(
+                pose, cameras[ci], jnp.int32(fi), jnp.int32(ci)
+            )
+            cache[(fi, ci)] = {
+                "camera": cameras[ci],
+                "lbs": pose,
+                "frame_idx": jnp.int32(fi),
+                "camera_idx": jnp.int32(ci),
+                "image": jnp.clip(img, 0, 1),
+                "alpha": jnp.clip(alpha, 0, 1)[None],
+                "silhouette": jnp.clip(sil, 0, 1),
+            }
+        return cache[(fi, ci)]
 
     def frame_iter(rng_seed=0):
         rng = np.random.default_rng(rng_seed)
         while True:
-            fi = int(rng.integers(model.n_frames))
-            ci = int(rng.integers(model.n_cameras))
-            if (fi, ci) not in cache:
-                pose = (
-                    jax.random.normal(jax.random.PRNGKey(fi), (lbs_dim,)) * 0.1
-                )
-                img, alpha, sil = teacher_render(
-                    pose, cameras[ci], jnp.int32(fi), jnp.int32(ci)
-                )
-                cache[(fi, ci)] = {
-                    "camera": cameras[ci],
-                    "lbs": pose,
-                    "frame_idx": jnp.int32(fi),
-                    "camera_idx": jnp.int32(ci),
-                    "image": jnp.clip(img, 0, 1),
-                    "alpha": jnp.clip(alpha, 0, 1)[None],
-                    "silhouette": jnp.clip(sil, 0, 1),
-                }
-            yield cache[(fi, ci)]
+            yield get_frame(
+                int(rng.integers(model.n_frames)), int(rng.integers(n_train_cams))
+            )
 
-    return model, frame_iter()
+    def test_iter():
+        ci = model.n_cameras - 1  # the held-out camera
+        fi = 0
+        while True:
+            yield get_frame(fi % model.n_frames, ci)
+            fi += 1
+
+    frames = test_iter() if split == "test" else frame_iter()
+    if split != "test" and tcfg.get("use_opt_smplx", False):
+        # per-frame optimizable pose corrections on the synthetic task:
+        # init from the (deterministic) teacher poses so test.py's
+        # optimized-pose mining + PCA path is exercisable end-to-end
+        poses = np.stack(
+            [
+                np.asarray(jax.random.normal(jax.random.PRNGKey(fi), (lbs_dim,)))
+                * 0.1
+                for fi in range(model.n_frames)
+            ]
+        )
+        frames = {
+            "train": frames,
+            "smplx_init": {
+                "poses": poses,
+                "rh": np.zeros((model.n_frames, 3), np.float32),
+                "th": np.zeros((model.n_frames, 3), np.float32),
+            },
+        }
+    if return_teacher:
+        return model, frames, teacher_render
+    return model, frames
 
 
 def training(config):
