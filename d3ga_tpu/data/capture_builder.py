@@ -383,11 +383,23 @@ def build_smplx_avatar(config: Dict, eval: bool = False):
         smplx_lbs(smodel, star_pose, jnp.zeros((1, 10)))
     )[0]
     body_faces = np.asarray(smodel.faces)
+    w_table = np.asarray(smodel.weights)
 
     cache_dir = os.path.join(config.get("assets", "assets_cache"), config["capture_id"])
     # ActorsHQ part labels are per-pixel (1..4); build per-face labels by
-    # segmentation transfer over sampled frames.
+    # segmentation transfer over sampled frames (on the ORIGINAL mesh —
+    # per-frame posed verts come from the unsubdivided template).
     face_to_label = build_face_labels_smplx(ds, body, star, body_faces, cache_dir)
+
+    if data_cfg.get("densify_template", True):
+        # 1x loop subdivision of the star-posed template with
+        # skin-weight interpolation (`lib/smplman.py:50,88-95` +
+        # `utils/mesh_utils.py:105-325`): doubles surface-sampling
+        # density for Gaussian placement and smooths the cage source.
+        from d3ga_tpu.geometry.subdivide import loop_subdivide
+
+        star, body_faces, w_table = loop_subdivide(star, body_faces, w_table)
+        face_to_label = np.repeat(face_to_label, 4)
 
     garments = []
     for name, cage_cfg in config.get("cages", {}).items():
@@ -402,14 +414,18 @@ def build_smplx_avatar(config: Dict, eval: bool = False):
             from scipy.spatial import cKDTree
 
             nn = cKDTree(star).query(np.asarray(geom.cage_points))[1]
-        cage_weights = smodel.weights[nn]
+        cage_weights = w_table[nn]
         # Unpose cage nodes from star pose to template space
         # (`lib/cage_smplman.py:57-76`): invert the star-pose blended
-        # transforms at the nearest template vertices.
-        _, _, T = smplx_lbs(
+        # transforms at the nearest (possibly subdivided) template
+        # vertices — blend the joint transforms with the transferred
+        # weights (equals per-vertex T on the original template).
+        _, A, _ = smplx_lbs(
             smodel, star_pose, jnp.zeros((1, 10)), return_transforms=True
         )
-        Tn = T[0][nn]  # [Vc, 4, 4]
+        Tn = jnp.einsum(
+            "vj,jkl->vkl", jnp.asarray(cage_weights, jnp.float32), A[0]
+        )  # [Vc, 4, 4]
         hom = jnp.concatenate(
             [geom.cage_points, jnp.ones_like(geom.cage_points[:, :1])], -1
         )
