@@ -70,33 +70,37 @@ def main():
     import os
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    # NOTE: batch>1 amortizes the axon tunnel's per-op launch overhead
-    # (device time is ~25ms/step vs ~75ms wall) but the vmapped graph
-    # compiles very slowly through the remote-compile tunnel; default to
-    # the reliable single-frame measurement.
+    # batch>1 folds several frames into one rasterization (explicitly
+    # batched sorts/binning + one blend over B*T tiles) — amortizes the
+    # fixed per-op dispatch overhead. NOT the vmapped form (which the
+    # remote compiler chokes on).
     batch = int(os.environ.get("BENCH_BATCH", "1"))
 
-    def frame_loss(means, cov6, opac, colors):
-        img, _ = rasterize_tiled(
-            means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
-            max_per_tile=MAX_PER_TILE, use_pallas=use_pallas,
-        )
-        return jnp.mean(jnp.abs(img - target))
-
     if batch > 1:
-        # Multi-camera batch per step (vmapped) — amortizes per-op launch
-        # overhead; pixels/s accounts for all frames.
-        vloss = jax.vmap(frame_loss, in_axes=(0, 0, 0, 0))
+        from d3ga_tpu.raster.camera import stack_cameras
+        from d3ga_tpu.raster.tiles import rasterize_tiled_batch
+
+        cams = stack_cameras([camera] * batch)
 
         def loss_fn(means, cov6, opac, colors):
-            return jnp.mean(vloss(means, cov6, opac, colors))
+            imgs, _ = rasterize_tiled_batch(
+                means, cams, bg, cov3d=cov6, opacities=opac, colors=colors,
+                max_per_tile=MAX_PER_TILE, use_pallas=use_pallas,
+            )
+            return jnp.mean(jnp.abs(imgs - target[None]))
 
         def tile(x):
             return jnp.broadcast_to(x[None], (batch,) + x.shape) + 0.0
 
         means, cov6, opac, colors = map(tile, (means, cov6, opac, colors))
     else:
-        loss_fn = frame_loss
+
+        def loss_fn(means, cov6, opac, colors):
+            img, _ = rasterize_tiled(
+                means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
+                max_per_tile=MAX_PER_TILE, use_pallas=use_pallas,
+            )
+            return jnp.mean(jnp.abs(img - target))
 
     # Chained steps (params updated from grads, true data dependencies)
     # run inside ONE device dispatch via lax.fori_loop: measures

@@ -239,7 +239,7 @@ def pad_frame_to(frame: Dict, render_w: int, render_h: int) -> Dict:
     for key in ("image", "orig_image", "alpha", "silhouette", "boundary_fg"):
         if key in frame:
             out[key] = place(frame[key])
-    # mask of真 pixels for loss weighting
+    # mask of real (non-padded) pixels for loss weighting
     mask = place(np.ones((1, H, W), np.float32))
     out["pixel_valid"] = mask
     out["width"], out["height"] = render_w, render_h

@@ -171,9 +171,135 @@ class GoliathDataset:
         return v
 
     @lru_cache(maxsize=1)
+    def load_template_mesh_unscaled(self):
+        """(`goliath_dataset.py:320-325`)"""
+        path = self.root_path / "kinematic_tracking" / "template_mesh_unscaled.ply"
+        with open(path, "rb") as f:
+            return load_ply_vertices(f.read())
+
+    @lru_cache(maxsize=1)
     def load_skeleton_scales(self) -> np.ndarray:
         with open(self.root_path / "kinematic_tracking" / "skeleton_scales.txt") as f:
             return np.array([float(i) for i in f.read().splitlines()], np.float32)
+
+    # -- fully-lit frame gating (`goliath_dataset.py:182-227`) ---------------
+
+    @lru_cache(maxsize=1)
+    def load_light_pattern(self):
+        with open(self.root_path / "lights" / "light_pattern_per_frame.json") as f:
+            return json.load(f)
+
+    @lru_cache(maxsize=1)
+    def load_light_pattern_meta(self):
+        with open(self.root_path / "lights" / "light_pattern_metadata.json") as f:
+            return json.load(f)
+
+    @lru_cache(maxsize=1)
+    def _fully_lit_frames(self):
+        """Frames with light-pattern index 0 (= fully lit,
+        `goliath_dataset.py:201-205`); None when the capture has no
+        lights metadata (Body captures are all fully lit)."""
+        path = self.root_path / "lights" / "light_pattern_per_frame.json"
+        if not path.exists():
+            return None
+        return {
+            int(frame) for frame, index in self.load_light_pattern() if index == 0
+        }
+
+    def asset_exists(self, frame: int) -> bool:
+        """Per-frame assets (pose, keypoints, registration, uv images)
+        only exist for fully lit frames (`goliath_dataset.py:219-222`)."""
+        lit = self._fully_lit_frames()
+        return lit is None or int(frame) in lit
+
+    # -- registration / uv / scan / head-pose / background assets -----------
+
+    @lru_cache(maxsize=CACHE_LENGTH)
+    def load_registration_vertices(self, frame: int):
+        """(`goliath_dataset.py:259-271`)"""
+        if not self.asset_exists(frame):
+            return None
+        data = self._zip_read(
+            "kinematic_tracking/registration_vertices.zip",
+            f"registration_vertices/{frame:06d}.ply",
+        )
+        return load_ply_vertices(data)[0]
+
+    @lru_cache(maxsize=1)
+    def load_registration_vertices_mean(self) -> np.ndarray:
+        return np.load(
+            self.root_path / "kinematic_tracking" / "registration_vertices_mean.npy"
+        )
+
+    @lru_cache(maxsize=1)
+    def load_registration_vertices_variance(self) -> float:
+        path = self.root_path / "kinematic_tracking" / "registration_vertices_variance.txt"
+        with open(path) as f:
+            return float(f.read())
+
+    @lru_cache(maxsize=1)
+    def load_floor_transforms(self):
+        """camera->groundplane transform pair (`goliath_dataset.py:308-318`)."""
+        cam2gp = np.loadtxt(self.root_path / "floor_transformation.txt", dtype=np.float64)
+        assert cam2gp.shape == (3, 4)
+        cam2gp = np.vstack([cam2gp, np.array([0, 0, 0, 1])])
+        return {"floor_Rt": np.linalg.inv(cam2gp), "floor_Rt_inv": cam2gp}
+
+    @lru_cache(maxsize=CACHE_LENGTH)
+    def load_ambient_occlusion(self, frame: int):
+        if not self.asset_exists(frame):
+            return None
+        return _imread(
+            self._zip_read(
+                "uv_image/ambient_occlusion.zip", f"ambient_occlusion/{frame:06d}.png"
+            )
+        )
+
+    @lru_cache(maxsize=1)
+    def load_ambient_occlusion_mean(self):
+        return _imread(
+            (self.root_path / "uv_image" / "ambient_occlusion_mean.png").read_bytes()
+        )
+
+    @lru_cache(maxsize=1)
+    def load_color_mean(self):
+        try:
+            return _imread((self.root_path / "uv_image" / "color_mean.png").read_bytes())
+        except Exception:
+            return None
+
+    @lru_cache(maxsize=1)
+    def load_color_variance(self) -> float:
+        with open(self.root_path / "uv_image" / "color_variance.txt") as f:
+            return float(f.read())
+
+    @lru_cache(maxsize=CACHE_LENGTH)
+    def load_color(self, frame: int):
+        if not self.asset_exists(frame):
+            return None
+        return _imread(self._zip_read("uv_image/color.zip", f"color/{frame:06d}.png"))
+
+    @lru_cache(maxsize=CACHE_LENGTH)
+    def load_scan_mesh(self, frame: int):
+        """(vertices, faces) of the per-frame scan (`goliath_dataset.py:377-387`)."""
+        if not self.asset_exists(frame):
+            return None
+        return load_ply_vertices(
+            self._zip_read("scan_mesh/scan_mesh.zip", f"{frame:06d}.ply")
+        )
+
+    @lru_cache(maxsize=CACHE_LENGTH)
+    def load_head_pose(self, frame: int) -> np.ndarray:
+        data = self._zip_read("head_pose/head_pose.zip", f"{frame:06d}.txt")
+        rows = [line.split(" ") for line in data.decode("utf-8").splitlines()]
+        return np.array([[float(i) for i in r] for r in rows], np.float32)
+
+    @lru_cache(maxsize=CACHE_LENGTH)
+    def load_background(self, camera: str):
+        """Per-camera clean plate (`goliath_dataset.py:400-405`)."""
+        return _imread(
+            self._zip_read("per_view_background/per_view_background.zip", f"{camera}.png")
+        )
 
     @lru_cache(maxsize=1)
     def load_shared_assets(self) -> Dict[str, Any]:

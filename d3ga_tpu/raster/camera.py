@@ -136,6 +136,21 @@ def camera_from_c2w(c2w, tanfovx, tanfovy, width, height, znear=0.01, zfar=100.0
     )
 
 
+def stack_cameras(cams) -> Camera:
+    """Stack same-size Cameras into one batched Camera (leading B on the
+    array fields) for `rasterize_tiled_batch`."""
+    assert len({(c.width, c.height) for c in cams}) == 1, "sizes must match"
+    return Camera(
+        world_view=jnp.stack([c.world_view for c in cams]),
+        full_proj=jnp.stack([c.full_proj for c in cams]),
+        camera_center=jnp.stack([c.camera_center for c in cams]),
+        tanfovx=jnp.stack([jnp.asarray(c.tanfovx) for c in cams]),
+        tanfovy=jnp.stack([jnp.asarray(c.tanfovy) for c in cams]),
+        width=cams[0].width,
+        height=cams[0].height,
+    )
+
+
 def ndc2pix(v, size):
     """NDC [-1,1] -> pixel coordinate (`lib/cameras.py:77-78`)."""
     return ((v + 1.0) * size - 1.0) * 0.5

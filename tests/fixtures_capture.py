@@ -40,6 +40,17 @@ def _png_bytes(arr_hwc_u8):
     return buf.getvalue()
 
 
+def _ply_bytes(verts, faces):
+    import tempfile
+
+    from d3ga_tpu.utils.ply import save_ply
+
+    with tempfile.NamedTemporaryFile(suffix=".ply") as f:
+        save_ply(f.name, verts, faces)
+        f.seek(0)
+        return f.read()
+
+
 def _write_zip(path, members):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with zipfile.ZipFile(path, "w") as zf:
@@ -170,6 +181,61 @@ def make_goliath_capture(root: Path, with_keypoints=True):
                 {"keypoints_3d": [p + [90.0] for p in pts]}
             )
         _write_zip(str(root / "keypoints_3d" / "keypoints_3d.zip"), kps)
+
+    # --- auxiliary asset families (registration / uv / scan / lights /
+    # head pose / per-view background / floor) ---
+    _write_zip(
+        str(root / "kinematic_tracking" / "registration_vertices.zip"),
+        {
+            f"registration_vertices/{fr:06d}.ply": _ply_bytes(verts * 1.01, faces)
+            for fr in frames
+        },
+    )
+    np.save(root / "kinematic_tracking" / "registration_vertices_mean.npy",
+            verts.mean(0))
+    with open(root / "kinematic_tracking" / "registration_vertices_variance.txt", "w") as f:
+        f.write("123.5")
+    save_ply(str(root / "kinematic_tracking" / "template_mesh_unscaled.ply"),
+             verts * 0.001, faces)
+    np.savetxt(root / "floor_transformation.txt",
+               np.hstack([np.eye(3), [[0], [0], [-900.0]]]))
+    uv = root / "uv_image"
+    uv.mkdir(exist_ok=True)
+    uv_img = rng.integers(0, 255, size=(16, 16), dtype=np.uint8)
+    _write_zip(str(uv / "ambient_occlusion.zip"),
+               {f"ambient_occlusion/{fr:06d}.png": _png_bytes(uv_img) for fr in frames})
+    with open(uv / "ambient_occlusion_mean.png", "wb") as f:
+        f.write(_png_bytes(uv_img))
+    with open(uv / "color_mean.png", "wb") as f:
+        f.write(_png_bytes(np.stack([uv_img] * 3, -1)))
+    with open(uv / "color_variance.txt", "w") as f:
+        f.write("7.25")
+    _write_zip(str(uv / "color.zip"),
+               {f"color/{fr:06d}.png": _png_bytes(np.stack([uv_img] * 3, -1))
+                for fr in frames})
+    _write_zip(str(root / "scan_mesh" / "scan_mesh.zip"),
+               {f"{fr:06d}.ply": _ply_bytes(verts, faces) for fr in frames})
+    _write_zip(
+        str(root / "head_pose" / "head_pose.zip"),
+        {f"{fr:06d}.txt": "\n".join(" ".join(str(float(v)) for v in row)
+                                    for row in np.eye(4)[:3])
+         for fr in frames},
+    )
+    _write_zip(
+        str(root / "per_view_background" / "per_view_background.zip"),
+        {f"{cam}.png": _png_bytes(
+            rng.integers(0, 255, size=(STORED_H, STORED_W, 3), dtype=np.uint8))
+         for cam in GOLIATH_CAMERAS},
+    )
+    lights = root / "lights"
+    lights.mkdir(exist_ok=True)
+    # frame 3 partially lit (pattern index 2) -> per-frame assets absent
+    with open(lights / "light_pattern_per_frame.json", "w") as f:
+        json.dump([[fr, 0 if fr != 3 else 2] for fr in frames], f)
+    with open(lights / "light_pattern_metadata.json", "w") as f:
+        json.dump({"light_patterns": [{"light_index_durations": []},
+                                      {"light_index_durations": [1] * 5},
+                                      {"light_index_durations": [1] * 3}]}, f)
 
     assets = dict(
         goliath_skeleton_assets(verts),

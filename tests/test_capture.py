@@ -56,6 +56,39 @@ class TestGoliathReader:
         ds_test = GoliathDataset(root, shared, split="test", regex="402")
         assert ds_test.get_frame_list() == [3]
 
+    def test_aux_asset_loaders(self, goliath_tree):
+        """The full loader family (`goliath_dataset.py:259-413`)."""
+        from d3ga_tpu.data.goliath import GoliathDataset
+
+        (root, shared), _ = goliath_tree
+        ds = GoliathDataset(root, shared, split="train", regex="402")
+        reg = ds.load_registration_vertices(1)
+        assert reg is not None and reg.shape[1] == 3
+        assert ds.load_registration_vertices_mean().shape == (3,)
+        assert ds.load_registration_vertices_variance() == 123.5
+        ft = ds.load_floor_transforms()
+        np.testing.assert_allclose(
+            ft["floor_Rt"] @ ft["floor_Rt_inv"], np.eye(4), atol=1e-9
+        )
+        assert ds.load_ambient_occlusion(1).shape == (1, 16, 16)
+        assert ds.load_ambient_occlusion_mean().shape == (1, 16, 16)
+        assert ds.load_color_mean().shape == (3, 16, 16)
+        assert ds.load_color_variance() == 7.25
+        assert ds.load_color(2).shape == (3, 16, 16)
+        sv, sf = ds.load_scan_mesh(1)
+        assert sv.shape[1] == 3 and sf.shape[1] == 3
+        np.testing.assert_allclose(ds.load_head_pose(1), np.eye(4)[:3])
+        assert ds.load_background("402001").shape[0] == 3
+        uv, uf = ds.load_template_mesh_unscaled()
+        assert uv.shape[1] == 3
+        # fully-lit gating: frame 3 is partially lit -> per-frame assets None
+        assert not ds.asset_exists(3)
+        assert ds.load_registration_vertices(3) is None
+        assert ds.load_ambient_occlusion(3) is None
+        assert ds.load_color(3) is None
+        assert ds.load_scan_mesh(3) is None
+        assert ds.asset_exists(1)
+
     def test_missing_asset_returns_none(self, goliath_tree):
         from d3ga_tpu.data.goliath import GoliathDataset
 
