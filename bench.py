@@ -31,7 +31,7 @@ BASELINE_MPIX_S = 68.0  # estimated CUDA reference fwd+bwd throughput
 
 H, W = 1024, 667
 N_GAUSS = 135_000
-MAX_PER_TILE = 256
+MAX_PER_TILE = int(os.environ.get("BENCH_K", "256"))
 
 
 def build_scene(key):
@@ -93,6 +93,15 @@ def main():
             return jnp.broadcast_to(x[None], (batch,) + x.shape) + 0.0
 
         means, cov6, opac, colors = map(tile, (means, cov6, opac, colors))
+    elif os.environ.get("BENCH_FUSED", "0") == "1":
+        from d3ga_tpu.raster.tiles import rasterize_tiled_fused
+
+        def loss_fn(means, cov6, opac, colors):
+            img, _ = rasterize_tiled_fused(
+                means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
+                max_per_tile=MAX_PER_TILE,
+            )
+            return jnp.mean(jnp.abs(img - target))
     else:
 
         def loss_fn(means, cov6, opac, colors):

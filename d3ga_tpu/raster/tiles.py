@@ -360,6 +360,138 @@ def rasterize_tiled_batch(
     return images, aux
 
 
+def rasterize_tiled_fused(
+    means3d,
+    camera: Camera,
+    bg_color,
+    cov3d=None,
+    scales=None,
+    rotations=None,
+    opacities=None,
+    colors=None,
+    max_per_tile: int = 256,
+    block_cap: int = 4096,
+    return_alpha: bool = False,
+    interpret: bool = False,
+):
+    """Rasterize via the fused select+compact+blend Pallas kernel
+    (pallas_fused.py): XLA does projection, depth sort and the coarse
+    8x8-tile-block binning; ONE kernel performs per-tile selection,
+    record compaction and alpha blending. Output matches
+    `rasterize_tiled` semantics (per-tile K cap + overflow counters)."""
+    from d3ga_tpu.raster.pallas_fused import BLOCK, fused_select_blend
+
+    H, W = camera.height, camera.width
+    n_tiles_x = -(-W // TILE)
+    n_tiles_y = -(-H // TILE)
+    assert n_tiles_x < 256 and n_tiles_y < 256
+    nbx = -(-n_tiles_x // BLOCK)
+    nby = -(-n_tiles_y // BLOCK)
+    n_blocks = nbx * nby
+
+    proj = project_gaussians(
+        means3d, camera, cov3d=cov3d, scales=scales, rotations=rotations,
+        opacities=opacities, colors=colors,
+    )
+    valid = proj.valid & (proj.radius > 0)
+    order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf), stable=True)
+
+    C = proj.color.shape[-1]
+    records = jnp.concatenate(
+        [proj.xy, proj.conic, proj.opacity[:, None], proj.color], axis=-1
+    )[order]
+    radius_s = proj.radius[order]
+    valid_s = valid[order]
+    xy_s = records[:, 0:2]
+    n = xy_s.shape[0]
+    kb = min(block_cap, n)
+
+    xmin, xmax, ymin, ymax = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    # --- coarse: block candidate lists (as in _select_per_tile) --------
+    bids = jnp.arange(n_blocks, dtype=jnp.int32)
+    bx0 = (bids % nbx) * BLOCK
+    by0 = (bids // nbx) * BLOCK
+    b_overlap = (
+        valid_s[None, :]
+        & (bx0[:, None] < xmax[None, :])
+        & (bx0[:, None] + BLOCK > xmin[None, :])
+        & (by0[:, None] < ymax[None, :])
+        & (by0[:, None] + BLOCK > ymin[None, :])
+    )
+    b_score = jnp.where(b_overlap, ranks[None, :], BIG_RANK)
+    block_ranks = -jax.lax.top_k(-b_score, kb)[0]  # [NB, kb] ascending
+    block_counts = jnp.sum(b_overlap.astype(jnp.int32), axis=-1)
+    block_overflow = jnp.sum(jnp.maximum(block_counts - kb, 0))
+    # the kernel consumes whole 128-lane chunks
+    kb_pad = (-kb) % 128
+    if kb_pad:
+        block_ranks = jnp.pad(
+            block_ranks, ((0, 0), (0, kb_pad)), constant_values=BIG_RANK
+        )
+        kb += kb_pad
+
+    cand_ok = block_ranks < BIG_RANK
+    safe = jnp.where(cand_ok, block_ranks, 0)
+
+    # --- per-block candidate records -> channels-first vals ------------
+    # layout: (x_blk, y_blk, conic A/B/C, opacity, colors..., pad to 16)
+    rec_b = records[safe]                       # [NB, kb, 6+C]
+    xy_b = rec_b[..., 0:2]
+    conic_b = rec_b[..., 2:5]
+    opac_b = jnp.where(cand_ok, rec_b[..., 5], 0.0)
+    color_b = rec_b[..., 6:]
+    block_px = jnp.stack([bx0 * TILE, by0 * TILE], axis=-1).astype(xy_b.dtype)
+    xy_local = xy_b - block_px[:, None, :]
+    pad = jnp.zeros(xy_b.shape[:2] + (16 - 6 - C,), xy_b.dtype)
+    vals = jnp.concatenate(
+        [xy_local, conic_b, opac_b[..., None], color_b, pad], axis=-1
+    )  # [NB, kb, 16]
+    vals = jnp.swapaxes(vals, 1, 2)             # [NB, 16, kb]
+
+    # --- block-local clamped rects (invalid -> 0 = never overlaps) -----
+    lxmin = jnp.clip(xmin[safe] - bx0[:, None], 0, BLOCK)
+    lxmax = jnp.clip(xmax[safe] - bx0[:, None], 0, BLOCK)
+    lymin = jnp.clip(ymin[safe] - by0[:, None], 0, BLOCK)
+    lymax = jnp.clip(ymax[safe] - by0[:, None], 0, BLOCK)
+    rects_l = jnp.where(
+        cand_ok,
+        lxmin | (lxmax << 8) | (lymin << 16) | (lymax << 24),
+        0,
+    )  # [NB, kb]
+
+    tiles, counts = fused_select_blend(vals, rects_l, max_per_tile, C, interpret)
+    # tiles [NB, 64, 256, C+1]; T_bg in the last channel
+
+    # --- untile (padded block grid, then crop) -------------------------
+    img = tiles.reshape(nby, nbx, BLOCK, BLOCK, TILE, TILE, C + 1)
+    img = jnp.transpose(img, (0, 2, 4, 1, 3, 5, 6)).reshape(
+        nby * BLOCK * TILE, nbx * BLOCK * TILE, C + 1
+    )[:H, :W]
+    t_bg = img[..., C]
+    image = jnp.transpose(img[..., :C], (2, 0, 1)) + t_bg[None] * jnp.asarray(
+        bg_color
+    )[:, None, None]
+
+    # counts: only tiles inside the image participate in the counters
+    cnt = counts.reshape(nby, nbx, BLOCK, BLOCK)
+    tile_in_x = jnp.arange(nbx * BLOCK) < n_tiles_x
+    tile_in_y = jnp.arange(nby * BLOCK) < n_tiles_y
+    inside = (
+        tile_in_y.reshape(nby, 1, BLOCK, 1) & tile_in_x.reshape(1, nbx, 1, BLOCK)
+    )
+    cnt = jnp.where(inside, cnt, 0)
+    aux = RasterAux(
+        overflow=jnp.sum(jnp.maximum(cnt - max_per_tile, 0)) + block_overflow,
+        max_per_tile=jnp.max(cnt),
+        n_contrib=jnp.sum(jnp.minimum(cnt, max_per_tile)),
+    )
+    if return_alpha:
+        return image, 1.0 - t_bg, aux
+    return image, aux
+
+
 def _blend_tiles_bg(xy_t, conic_t, color_t, opac_t, sel_valid, bg_tiles, tile_origin):
     """`_blend_tiles` with a PER-TILE background row [T, C] (the batched
     path gives each frame its own bg)."""
