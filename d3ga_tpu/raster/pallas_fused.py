@@ -157,8 +157,8 @@ def _compact(vals, rects, tx, ty, K, NC, tri_c, tri_r, iota_win):
         # banded one-hot: output window rows [cursor, cursor + CHUNK)
         oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
         vals_c = jax.lax.dynamic_slice(
-            vals, (0, c, 0), (16, 1, CHUNK)
-        )[:, 0, :]  # [16, CHUNK]
+            vals, (c, 0, 0), (1, 16, CHUNK)
+        )[0]  # [16, CHUNK]
         add = jax.lax.dot_general(
             oh, vals_c, (((1,), (1,)), ((), ())),
             precision=HIGHEST, preferred_element_type=jnp.float32,
@@ -207,8 +207,8 @@ def _forward_kernel(
     tri_r = trir_ref[...]
     iota_win = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, CHUNK), 0)
 
-    vals = vals_ref[0].reshape(16, NC, CHUNK)
-    rects = rects_ref[0].reshape(NC, CHUNK)
+    vals = vals_ref[0]     # [NC, 16, CHUNK]
+    rects = rects_ref[0]   # [NC, CHUNK]
 
     def tile_body(t, _):
         tx = t % BLOCK
@@ -224,7 +224,7 @@ def _forward_kernel(
         color_t = rec[:, 6 : 6 + C]
         out = _blend_forward(coeffs_t, opac_t, color_t, basis, triK, C)
         out_ref[0, t] = out
-        cnt_ref[0, t] = counts.astype(jnp.int32)
+        cnt_ref[0, 0, t] = counts.astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, TB, tile_body, 0)
@@ -240,8 +240,8 @@ def _backward_kernel(
     tri_r = trir_ref[...]
     iota_win = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, CHUNK), 0)
 
-    vals = vals_ref[0].reshape(16, NC, CHUNK)
-    rects = rects_ref[0].reshape(NC, CHUNK)
+    vals = vals_ref[0]     # [NC, 16, CHUNK]
+    rects = rects_ref[0]   # [NC, CHUNK]
 
     def tile_body(t, dvals):
         tx = t % BLOCK
@@ -337,16 +337,16 @@ def _backward_kernel(
                 dwin, oh, (((0,), (0,)), ((), ())),
                 precision=HIGHEST, preferred_element_type=jnp.float32,
             )  # [16, CHUNK]
-            old = jax.lax.dynamic_slice(dv, (0, c, 0), (16, 1, CHUNK))[:, 0, :]
+            old = jax.lax.dynamic_slice(dv, (c, 0, 0), (1, 16, CHUNK))[0]
             return jax.lax.dynamic_update_slice(
-                dv, (old + dvc)[:, None, :], (0, c, 0)
+                dv, (old + dvc)[None], (c, 0, 0)
             )
 
         return jax.lax.fori_loop(0, NC, chunk_body, dvals)
 
-    dvals = jnp.zeros_like(vals)  # [16, NC, CHUNK]
+    dvals = jnp.zeros_like(vals)  # [NC, 16, CHUNK]
     dvals = jax.lax.fori_loop(0, TB, tile_body, dvals)
-    dvals_ref[0] = dvals.reshape(16, NC * CHUNK)
+    dvals_ref[0] = dvals
 
 
 def _tables(K, NC):
@@ -368,41 +368,39 @@ def _table_specs(K, NC):
 
 
 def _run_forward(vals, rects, K, C, interpret=False):
-    NB, _, kb = vals.shape
-    NC = kb // CHUNK
+    NB, NC, _, _ = vals.shape
     out, cnt = pl.pallas_call(
         partial(_forward_kernel, K, C, NC),
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, 16, kb), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, kb), lambda i: (i, 0)),
+            pl.BlockSpec((1, NC, 16, CHUNK), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, NC, CHUNK), lambda i: (i, 0, 0)),
         ] + _table_specs(K, NC),
         out_specs=[
             pl.BlockSpec((1, TB, P, C + 1), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, TB), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, TB), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NB, TB, P, C + 1), jnp.float32),
-            jax.ShapeDtypeStruct((NB, TB), jnp.int32),
+            jax.ShapeDtypeStruct((NB, 1, TB), jnp.int32),
         ],
         interpret=interpret,
     )(vals, rects, *_tables(K, NC))
-    return out, cnt
+    return out, cnt[:, 0, :]
 
 
 def _run_backward(vals, rects, g, K, C, interpret=False):
-    NB, _, kb = vals.shape
-    NC = kb // CHUNK
+    NB, NC, _, _ = vals.shape
     dvals = pl.pallas_call(
         partial(_backward_kernel, K, C, NC),
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, 16, kb), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, kb), lambda i: (i, 0)),
+            pl.BlockSpec((1, NC, 16, CHUNK), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, NC, CHUNK), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, TB, P, C + 1), lambda i: (i, 0, 0, 0)),
         ] + _table_specs(K, NC),
-        out_specs=pl.BlockSpec((1, 16, kb), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NB, 16, kb), jnp.float32),
+        out_specs=pl.BlockSpec((1, NC, 16, CHUNK), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, NC, 16, CHUNK), jnp.float32),
         interpret=interpret,
     )(vals, rects, g, *_tables(K, NC))
     return dvals
@@ -410,13 +408,14 @@ def _run_backward(vals, rects, g, K, C, interpret=False):
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def fused_select_blend(vals, rects, K, C, interpret=False):
-    """vals [NB, 16, kb] f32: channels-first per-block candidate records
+    """vals [NB, NC, 16, CHUNK] f32 (kb = NC*CHUNK candidates):
+    chunked channels-first per-block candidate records
     (x_blk, y_blk, conicA, conicB, conicC, opacity, C colors, pad to
     16); xy are in block-local pixels; invalid candidates MUST have
     rects == 0 and opacity 0.
-    rects [NB, kb] int32 packed tile rects in BLOCK-LOCAL tile coords
-    (0..BLOCK). Returns (tiles [NB, 64, 256, C+1] with T_bg in the last
-    channel, counts [NB, 64] int32)."""
+    rects [NB, NC, CHUNK] int32 packed tile rects in BLOCK-LOCAL tile
+    coords (0..BLOCK). Returns (tiles [NB, 64, 256, C+1] with T_bg in
+    the last channel, counts [NB, 64] int32)."""
     return _run_forward(vals, rects, K, C, interpret)
 
 

@@ -369,6 +369,8 @@ def rasterize_tiled_fused(
     rotations=None,
     opacities=None,
     colors=None,
+    shs=None,
+    sh_degree: int = 0,
     max_per_tile: int = 256,
     block_cap: int = 4096,
     return_alpha: bool = False,
@@ -391,7 +393,7 @@ def rasterize_tiled_fused(
 
     proj = project_gaussians(
         means3d, camera, cov3d=cov3d, scales=scales, rotations=rotations,
-        opacities=opacities, colors=colors,
+        opacities=opacities, colors=colors, shs=shs, sh_degree=sh_degree,
     )
     valid = proj.valid & (proj.radius > 0)
     order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf), stable=True)
@@ -448,7 +450,10 @@ def rasterize_tiled_fused(
     vals = jnp.concatenate(
         [xy_local, conic_b, opac_b[..., None], color_b, pad], axis=-1
     )  # [NB, kb, 16]
-    vals = jnp.swapaxes(vals, 1, 2)             # [NB, 16, kb]
+    NC = kb // 128
+    vals = jnp.transpose(
+        vals.reshape(n_blocks, NC, 128, 16), (0, 1, 3, 2)
+    )  # [NB, NC, 16, 128]
 
     # --- block-local clamped rects (invalid -> 0 = never overlaps) -----
     lxmin = jnp.clip(xmin[safe] - bx0[:, None], 0, BLOCK)
@@ -459,7 +464,7 @@ def rasterize_tiled_fused(
         cand_ok,
         lxmin | (lxmax << 8) | (lymin << 16) | (lymax << 24),
         0,
-    )  # [NB, kb]
+    ).reshape(n_blocks, NC, 128)
 
     tiles, counts = fused_select_blend(vals, rects_l, max_per_tile, C, interpret)
     # tiles [NB, 64, 256, C+1]; T_bg in the last channel

@@ -18,19 +18,35 @@ from d3ga_tpu.utils.log import logger
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: str):
+    """metrics.jsonl writer + optional TensorBoard mirror
+    (`/root/reference/train.py:44,293-296` SummaryWriter)."""
+
+    def __init__(self, run_dir: str, tb_dir: str = None):
         self.path = os.path.join(run_dir, "metrics.jsonl")
         os.makedirs(run_dir, exist_ok=True)
         self._fh = open(self.path, "a")
+        self._tb = None
+        if tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=tb_dir)
+            except Exception:
+                pass  # tensorboard not installed; jsonl is authoritative
 
     def log(self, step: int, metrics: Dict[str, float]):
         row = {"step": step, "time": time.time()}
         row.update({k: float(v) for k, v in metrics.items()})
         self._fh.write(json.dumps(row) + "\n")
         self._fh.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step)
 
     def close(self):
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def _to_u8(img):

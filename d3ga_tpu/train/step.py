@@ -64,9 +64,17 @@ def render_frame(
     loss assembly (`/root/reference/train.py:190-258`,
     `models/trainer.py:91-140`).
     """
-    if rasterize_fn is None:
-        rasterize_fn = rasterize_tiled
     cfg = model.config
+    if rasterize_fn is None:
+        backend = cfg.get("raster_backend", "xla")
+        if backend == "fused":
+            from d3ga_tpu.raster.tiles import rasterize_tiled_fused
+
+            rasterize_fn = rasterize_tiled_fused
+        elif backend == "pallas_blend":
+            rasterize_fn = partial(rasterize_tiled, use_pallas=True)
+        else:
+            rasterize_fn = rasterize_tiled
     batch = dict(batch, iteration=iteration)
     # In-graph camera rebuild from optimizable per-frame Rh/Th (no-op
     # unless the params + batch["cam_rt"] are present).

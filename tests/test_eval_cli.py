@@ -11,6 +11,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Bind the repo's CLI modules at collection time, before any other test
+# module can grow sys.path with colliding names (the reference checkout
+# also has train.py/test.py).
+import test as _repo_test_cli  # noqa: E402,F401
+import train as _repo_train_cli  # noqa: E402,F401
+
 
 def small_config(tmp_path):
     return {

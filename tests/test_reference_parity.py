@@ -28,7 +28,11 @@ if "loguru" not in sys.modules:
     fake.logger = _L()
     sys.modules["loguru"] = fake
 
-sys.path.insert(0, "/root/reference")
+# APPEND (not insert-front): the reference root contains train.py /
+# test.py / globus.py which would otherwise shadow the repo's top-level
+# modules for every test collected after this one.
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 
 from lbsmodel.body_model import solve_skeleton_state, states_to_matrix  # noqa: E402
 from lbsmodel.quaternion import Quaternion  # noqa: E402

@@ -243,7 +243,9 @@ def training(config):
     from d3ga_tpu.train.reporting import MetricsLogger, dump_means3d, write_progress_grid
     from d3ga_tpu.train.step import render_frame
 
-    mlog = MetricsLogger(run_dir)
+    mlog = MetricsLogger(
+        run_dir, tb_dir=tcfg.get("tb_dir", os.path.join(run_dir, "tb"))
+    )
     rng = jax.random.PRNGKey(tcfg.get("seed", 17))
     use_shs = tcfg.get("use_shs", False)
     max_sh_degree = tcfg.get("max_sh_degree", 3)
