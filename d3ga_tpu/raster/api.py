@@ -27,7 +27,7 @@ class RasterSettings:
     scale_modifier: float = 1.0
     antialiasing: bool = False
     max_per_tile: int = 256
-    backend: str = "tiled"  # "tiled" | "oracle" | "pallas"
+    backend: str = "tiled"  # "tiled" | "oracle" | "pallas" | "fused"
 
 
 def rasterize(
@@ -73,6 +73,19 @@ def rasterize(
             bg_color,
             max_per_tile=settings.max_per_tile,
             use_pallas=settings.backend == "pallas",
+            **kwargs,
+        )
+        return img, aux
+    elif settings.backend == "fused":
+        from d3ga_tpu.raster.tiles import rasterize_tiled_fused
+
+        kwargs.pop("scale_modifier")
+        kwargs.pop("antialiasing")
+        img, aux = rasterize_tiled_fused(
+            means3d,
+            camera,
+            bg_color,
+            max_per_tile=settings.max_per_tile,
             **kwargs,
         )
         return img, aux

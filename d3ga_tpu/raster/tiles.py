@@ -383,6 +383,10 @@ def rasterize_tiled_fused(
     `rasterize_tiled` semantics (per-tile K cap + overflow counters)."""
     from d3ga_tpu.raster.pallas_fused import BLOCK, fused_select_blend
 
+    # Pallas TPU kernels only run compiled on TPU; fall back to the
+    # interpreter elsewhere (CPU tests, virtual meshes, dryruns).
+    interpret = interpret or jax.default_backend() != "tpu"
+
     H, W = camera.height, camera.width
     n_tiles_x = -(-W // TILE)
     n_tiles_y = -(-H // TILE)
