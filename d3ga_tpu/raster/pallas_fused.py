@@ -142,35 +142,39 @@ def _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r):
     return sel, pos0, row_off, counts
 
 
-def _compact(vals, rects, tx, ty, K, NC, tri_c, tri_r, iota_win):
-    """Compact the first K overlapping records into [K + CHUNK, 16].
+def _compact(vals_ref, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
+             rec_ref, ps_ref, off_ref):
+    """Compact the first K overlapping records of this tile into the
+    VMEM scratch `rec_ref` [K + CHUNK, 16] (zeroed here).
 
-    vals [NC, CHUNK, 16]? — no: vals comes in as [16, kb]; we index
-    chunks [16, CHUNK]. Returns (rec [K + CHUNK, 16], counts)."""
+    Dynamic (chunk-cursor) addressing happens exclusively through refs
+    — Mosaic only lowers dynamic indexing on refs, not on values.
+    vals_ref: [NC, 16, CHUNK] ref; ps_ref: [2, NC, CHUNK] VMEM scratch
+    (sel row, pos0 row); off_ref: [NC] SMEM scratch (row cursors).
+    Returns counts (f32 scalar)."""
     sel, pos0, row_off, counts = _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r)
+    ps_ref[0] = sel
+    ps_ref[1] = pos0
+    off_ref[...] = row_off[:, 0]
+    rec_ref[...] = jnp.zeros((K + CHUNK, 16), jnp.float32)
 
     def body(c, carry):
-        rec = carry
-        p_row = pos0[c][None, :]        # [1, CHUNK]
-        s_row = sel[c][None, :]
-        cursor = row_off[c, 0]          # f32 scalar, exact integer
+        p_row = ps_ref[1, c][None, :]   # [1, CHUNK]
+        s_row = ps_ref[0, c][None, :]
+        cursor = off_ref[c]             # f32 scalar, exact integer
         # banded one-hot: output window rows [cursor, cursor + CHUNK)
         oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
-        vals_c = jax.lax.dynamic_slice(
-            vals, (c, 0, 0), (1, 16, CHUNK)
-        )[0]  # [16, CHUNK]
+        vals_c = vals_ref[c]            # [16, CHUNK]
         add = jax.lax.dot_general(
             oh, vals_c, (((1,), (1,)), ((), ())),
             precision=HIGHEST, preferred_element_type=jnp.float32,
         )  # [CHUNK, 16]
         cur_i = jnp.minimum(cursor.astype(jnp.int32), K)
-        win = jax.lax.dynamic_slice(rec, (cur_i, 0), (CHUNK, 16))
-        rec = jax.lax.dynamic_update_slice(rec, win + add, (cur_i, 0))
-        return rec
+        rec_ref[pl.ds(cur_i, CHUNK), :] = rec_ref[pl.ds(cur_i, CHUNK), :] + add
+        return carry
 
-    rec0 = jnp.zeros((K + CHUNK, 16), jnp.float32)
-    rec = jax.lax.fori_loop(0, NC, body, rec0)
-    return rec, counts
+    jax.lax.fori_loop(0, NC, body, 0)
+    return counts
 
 
 def _blend_forward(coeffs_t, opac_t, color_t, basis, triK, C):
@@ -199,7 +203,7 @@ def _blend_forward(coeffs_t, opac_t, color_t, basis, triK, C):
 
 def _forward_kernel(
     K, C, NC, vals_ref, rects_ref, basis_ref, triK_ref, tric_ref, trir_ref,
-    out_ref, cnt_ref,
+    out_ref, cnt_ref, rec_s, ps_s, off_s,
 ):
     basis = basis_ref[...]
     triK = triK_ref[...]
@@ -207,16 +211,17 @@ def _forward_kernel(
     tri_r = trir_ref[...]
     iota_win = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, CHUNK), 0)
 
-    vals = vals_ref[0]     # [NC, 16, CHUNK]
-    rects = rects_ref[0]   # [NC, CHUNK]
+    vals3 = vals_ref.at[0]   # [NC, 16, CHUNK] ref view
+    rects = rects_ref[0]     # [NC, CHUNK]
 
     def tile_body(t, _):
         tx = t % BLOCK
         ty = t // BLOCK
-        rec, counts = _compact(
-            vals, rects, tx, ty, K, NC, tri_c, tri_r, iota_win
+        counts = _compact(
+            vals3, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
+            rec_s, ps_s, off_s,
         )
-        rec = rec[:K]
+        rec = rec_s[:K, :]
         sx = (tx * TILE).astype(jnp.float32)
         sy = (ty * TILE).astype(jnp.float32)
         coeffs_t = _coeffs_from_rec(rec, sx, sy)
@@ -232,7 +237,7 @@ def _forward_kernel(
 
 def _backward_kernel(
     K, C, NC, vals_ref, rects_ref, g_ref, basis_ref, triK_ref, tric_ref,
-    trir_ref, dvals_ref,
+    trir_ref, dvals_ref, rec_s, ps_s, off_s,
 ):
     basis = basis_ref[...]
     triK = triK_ref[...]
@@ -240,14 +245,19 @@ def _backward_kernel(
     tri_r = trir_ref[...]
     iota_win = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, CHUNK), 0)
 
-    vals = vals_ref[0]     # [NC, 16, CHUNK]
-    rects = rects_ref[0]   # [NC, CHUNK]
+    vals3 = vals_ref.at[0]   # [NC, 16, CHUNK] ref view
+    rects = rects_ref[0]     # [NC, CHUNK]
+    dv3 = dvals_ref.at[0]    # [NC, 16, CHUNK] accumulator ref view
+    dvals_ref[...] = jnp.zeros((1, NC, 16, CHUNK), jnp.float32)
 
-    def tile_body(t, dvals):
+    def tile_body(t, _):
         tx = t % BLOCK
         ty = t // BLOCK
-        rec, _ = _compact(vals, rects, tx, ty, K, NC, tri_c, tri_r, iota_win)
-        rec = rec[:K]
+        _compact(
+            vals3, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
+            rec_s, ps_s, off_s,
+        )
+        rec = rec_s[:K, :]
         sx = (tx * TILE).astype(jnp.float32)
         sy = (ty * TILE).astype(jnp.float32)
         coeffs_t = _coeffs_from_rec(rec, sx, sy)
@@ -316,37 +326,31 @@ def _backward_kernel(
             ],
             axis=-1,
         )  # [K, 16]
-        drec = jnp.concatenate(
-            [drec, jnp.zeros((CHUNK, 16), jnp.float32)], axis=0
-        )  # [K + CHUNK, 16]
+        # stash in the windowed scratch so chunk reads can be dynamic
+        rec_s[...] = jnp.zeros((K + CHUNK, 16), jnp.float32)
+        rec_s[:K, :] = drec
 
         # --- transpose of compaction: route drec back to candidates ---
-        sel, pos0, row_off, _ = _tile_mask_positions(
-            rects, tx, ty, K, tri_c, tri_r
-        )
-
-        def chunk_body(c, dv):
-            p_row = pos0[c][None, :]
-            s_row = sel[c][None, :]
-            cursor = row_off[c, 0]
+        # (sel/pos0/cursors are still in ps_s/off_s from _compact)
+        def chunk_body(c, carry):
+            p_row = ps_s[1, c][None, :]
+            s_row = ps_s[0, c][None, :]
+            cursor = off_s[c]
             oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
             cur_i = jnp.minimum(cursor.astype(jnp.int32), K)
-            dwin = jax.lax.dynamic_slice(drec, (cur_i, 0), (CHUNK, 16))
+            dwin = rec_s[pl.ds(cur_i, CHUNK), :]
             # d vals_c [16, CHUNK] = dwin^T @ oh  (transpose of oh @ vals^T)
             dvc = jax.lax.dot_general(
                 dwin, oh, (((0,), (0,)), ((), ())),
                 precision=HIGHEST, preferred_element_type=jnp.float32,
             )  # [16, CHUNK]
-            old = jax.lax.dynamic_slice(dv, (c, 0, 0), (1, 16, CHUNK))[0]
-            return jax.lax.dynamic_update_slice(
-                dv, (old + dvc)[None], (c, 0, 0)
-            )
+            dv3[c] = dv3[c] + dvc
+            return carry
 
-        return jax.lax.fori_loop(0, NC, chunk_body, dvals)
+        jax.lax.fori_loop(0, NC, chunk_body, 0)
+        return 0
 
-    dvals = jnp.zeros_like(vals)  # [NC, 16, CHUNK]
-    dvals = jax.lax.fori_loop(0, TB, tile_body, dvals)
-    dvals_ref[0] = dvals
+    jax.lax.fori_loop(0, TB, tile_body, 0)
 
 
 def _tables(K, NC):
@@ -384,6 +388,11 @@ def _run_forward(vals, rects, K, C, interpret=False):
             jax.ShapeDtypeStruct((NB, TB, P, C + 1), jnp.float32),
             jax.ShapeDtypeStruct((NB, 1, TB), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((K + CHUNK, 16), jnp.float32),
+            pltpu.VMEM((2, NC, CHUNK), jnp.float32),
+            pltpu.SMEM((NC,), jnp.float32),
+        ],
         interpret=interpret,
     )(vals, rects, *_tables(K, NC))
     return out, cnt[:, 0, :]
@@ -401,6 +410,11 @@ def _run_backward(vals, rects, g, K, C, interpret=False):
         ] + _table_specs(K, NC),
         out_specs=pl.BlockSpec((1, NC, 16, CHUNK), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NB, NC, 16, CHUNK), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K + CHUNK, 16), jnp.float32),
+            pltpu.VMEM((2, NC, CHUNK), jnp.float32),
+            pltpu.SMEM((NC,), jnp.float32),
+        ],
         interpret=interpret,
     )(vals, rects, g, *_tables(K, NC))
     return dvals
