@@ -142,29 +142,31 @@ def _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r):
     return sel, pos0, row_off, counts
 
 
-def _compact(vals_ref, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
-             rec_ref, ps_ref, off_ref):
+def _compact(vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
+             rec_ref, sel_s, pos_s, off_ref):
     """Compact the first K overlapping records of this tile into the
     VMEM scratch `rec_ref` [K + CHUNK, 16] (zeroed here).
 
-    Dynamic (chunk-cursor) addressing happens exclusively through refs
-    — Mosaic only lowers dynamic indexing on refs, not on values.
-    vals_ref: [NC, 16, CHUNK] ref; ps_ref: [2, NC, CHUNK] VMEM scratch
-    (sel row, pos0 row); off_ref: [NC] SMEM scratch (row cursors).
+    Every dynamic (chunk-cursor) access goes through a ref with the
+    dynamic index on the LEADING dimension only — mixed static+dynamic
+    ref indexing desugars to a value-level dynamic_slice that Mosaic
+    does not lower.
+    vals_s: [NC, 16, CHUNK] VMEM scratch (block records, chunked);
+    sel_s / pos_s: [NC, CHUNK] VMEM scratch; off_ref: [NC] SMEM.
     Returns counts (f32 scalar)."""
     sel, pos0, row_off, counts = _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r)
-    ps_ref[0] = sel
-    ps_ref[1] = pos0
+    sel_s[...] = sel
+    pos_s[...] = pos0
     off_ref[...] = row_off[:, 0]
     rec_ref[...] = jnp.zeros((K + CHUNK, 16), jnp.float32)
 
     def body(c, carry):
-        p_row = ps_ref[1, c][None, :]   # [1, CHUNK]
-        s_row = ps_ref[0, c][None, :]
+        p_row = pos_s[c][None, :]       # [1, CHUNK]
+        s_row = sel_s[c][None, :]
         cursor = off_ref[c]             # f32 scalar, exact integer
         # banded one-hot: output window rows [cursor, cursor + CHUNK)
         oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
-        vals_c = vals_ref[c]            # [16, CHUNK]
+        vals_c = vals_s[c]              # [16, CHUNK]
         add = jax.lax.dot_general(
             oh, vals_c, (((1,), (1,)), ((), ())),
             precision=HIGHEST, preferred_element_type=jnp.float32,
@@ -203,7 +205,7 @@ def _blend_forward(coeffs_t, opac_t, color_t, basis, triK, C):
 
 def _forward_kernel(
     K, C, NC, vals_ref, rects_ref, basis_ref, triK_ref, tric_ref, trir_ref,
-    out_ref, cnt_ref, rec_s, ps_s, off_s,
+    out_ref, cnt_ref, rec_s, sel_s, pos_s, off_s, cnt_sm, vals_s, out_s,
 ):
     basis = basis_ref[...]
     triK = triK_ref[...]
@@ -211,15 +213,15 @@ def _forward_kernel(
     tri_r = trir_ref[...]
     iota_win = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, CHUNK), 0)
 
-    vals3 = vals_ref.at[0]   # [NC, 16, CHUNK] ref view
-    rects = rects_ref[0]     # [NC, CHUNK]
+    vals_s[...] = vals_ref[0]   # [NC, 16, CHUNK] into leading-dyn scratch
+    rects = rects_ref[0]        # [NC, CHUNK]
 
     def tile_body(t, _):
         tx = t % BLOCK
         ty = t // BLOCK
         counts = _compact(
-            vals3, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
-            rec_s, ps_s, off_s,
+            vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
+            rec_s, sel_s, pos_s, off_s,
         )
         rec = rec_s[:K, :]
         sx = (tx * TILE).astype(jnp.float32)
@@ -228,16 +230,20 @@ def _forward_kernel(
         opac_t = rec[:, 5][None, :]
         color_t = rec[:, 6 : 6 + C]
         out = _blend_forward(coeffs_t, opac_t, color_t, basis, triK, C)
-        out_ref[0, t] = out
-        cnt_ref[0, 0, t] = counts.astype(jnp.int32)
+        out_s[t] = out              # leading-dim dynamic store
+        # scalar stores at a traced index only lower via SMEM; the
+        # vector write below publishes all 64 counts at once
+        cnt_sm[t] = counts.astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, TB, tile_body, 0)
+    out_ref[0] = out_s[...]
+    cnt_ref[0, 0] = jnp.stack([cnt_sm[i] for i in range(TB)])
 
 
 def _backward_kernel(
     K, C, NC, vals_ref, rects_ref, g_ref, basis_ref, triK_ref, tric_ref,
-    trir_ref, dvals_ref, rec_s, ps_s, off_s,
+    trir_ref, dvals_ref, rec_s, sel_s, pos_s, off_s, vals_s, dacc_s, g_s,
 ):
     basis = basis_ref[...]
     triK = triK_ref[...]
@@ -245,17 +251,17 @@ def _backward_kernel(
     tri_r = trir_ref[...]
     iota_win = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, CHUNK), 0)
 
-    vals3 = vals_ref.at[0]   # [NC, 16, CHUNK] ref view
-    rects = rects_ref[0]     # [NC, CHUNK]
-    dv3 = dvals_ref.at[0]    # [NC, 16, CHUNK] accumulator ref view
-    dvals_ref[...] = jnp.zeros((1, NC, 16, CHUNK), jnp.float32)
+    vals_s[...] = vals_ref[0]   # [NC, 16, CHUNK]
+    rects = rects_ref[0]        # [NC, CHUNK]
+    g_s[...] = g_ref[0]         # [TB, P, C+1] leading-dyn scratch
+    dacc_s[...] = jnp.zeros_like(dacc_s)
 
     def tile_body(t, _):
         tx = t % BLOCK
         ty = t // BLOCK
         _compact(
-            vals3, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
-            rec_s, ps_s, off_s,
+            vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
+            rec_s, sel_s, pos_s, off_s,
         )
         rec = rec_s[:K, :]
         sx = (tx * TILE).astype(jnp.float32)
@@ -285,7 +291,7 @@ def _backward_kernel(
         t_bg = jnp.exp(sum_lg)
 
         # --- blend cotangents (mirrors pallas_blend._backward_body) ---
-        g = g_ref[0, t]                  # [256, C+1]
+        g = g_s[t]                       # [256, C+1]
         g_rgb = g[:, :C]
         g_tbg = g[:, C : C + 1]
         dw = jax.lax.dot_general(
@@ -331,10 +337,10 @@ def _backward_kernel(
         rec_s[:K, :] = drec
 
         # --- transpose of compaction: route drec back to candidates ---
-        # (sel/pos0/cursors are still in ps_s/off_s from _compact)
+        # (sel/pos0/cursors are still in sel_s/pos_s/off_s from _compact)
         def chunk_body(c, carry):
-            p_row = ps_s[1, c][None, :]
-            s_row = ps_s[0, c][None, :]
+            p_row = pos_s[c][None, :]
+            s_row = sel_s[c][None, :]
             cursor = off_s[c]
             oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
             cur_i = jnp.minimum(cursor.astype(jnp.int32), K)
@@ -344,13 +350,14 @@ def _backward_kernel(
                 dwin, oh, (((0,), (0,)), ((), ())),
                 precision=HIGHEST, preferred_element_type=jnp.float32,
             )  # [16, CHUNK]
-            dv3[c] = dv3[c] + dvc
+            dacc_s[c] = dacc_s[c] + dvc
             return carry
 
         jax.lax.fori_loop(0, NC, chunk_body, 0)
         return 0
 
     jax.lax.fori_loop(0, TB, tile_body, 0)
+    dvals_ref[0] = dacc_s[...]
 
 
 def _tables(K, NC):
@@ -390,8 +397,12 @@ def _run_forward(vals, rects, K, C, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((K + CHUNK, 16), jnp.float32),
-            pltpu.VMEM((2, NC, CHUNK), jnp.float32),
+            pltpu.VMEM((NC, CHUNK), jnp.float32),
+            pltpu.VMEM((NC, CHUNK), jnp.float32),
             pltpu.SMEM((NC,), jnp.float32),
+            pltpu.SMEM((TB,), jnp.int32),
+            pltpu.VMEM((NC, 16, CHUNK), jnp.float32),
+            pltpu.VMEM((TB, P, C + 1), jnp.float32),
         ],
         interpret=interpret,
     )(vals, rects, *_tables(K, NC))
@@ -412,8 +423,12 @@ def _run_backward(vals, rects, g, K, C, interpret=False):
         out_shape=jax.ShapeDtypeStruct((NB, NC, 16, CHUNK), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((K + CHUNK, 16), jnp.float32),
-            pltpu.VMEM((2, NC, CHUNK), jnp.float32),
+            pltpu.VMEM((NC, CHUNK), jnp.float32),
+            pltpu.VMEM((NC, CHUNK), jnp.float32),
             pltpu.SMEM((NC,), jnp.float32),
+            pltpu.VMEM((NC, 16, CHUNK), jnp.float32),
+            pltpu.VMEM((NC, 16, CHUNK), jnp.float32),
+            pltpu.VMEM((TB, P, C + 1), jnp.float32),
         ],
         interpret=interpret,
     )(vals, rects, g, *_tables(K, NC))
