@@ -75,13 +75,13 @@ def _coeffs_from_rec(rec, sx, sy):
     origin within the block. Same math as pallas_blend.falloff_coeffs —
     computed per tile from raw xy/conic so there is no precision-losing
     polynomial re-centering."""
-    x = rec[:, 0] - sx
-    y = rec[:, 1] - sy
-    A = rec[:, 2]
-    B = rec[:, 3]
-    Cc = rec[:, 4]
+    x = rec[:, 0:1] - sx
+    y = rec[:, 1:2] - sy
+    A = rec[:, 2:3]
+    B = rec[:, 3:4]
+    Cc = rec[:, 4:5]
     z = jnp.zeros_like(x)
-    return jnp.stack(
+    return jnp.concatenate(
         [
             -0.5 * (A * x * x + Cc * y * y) - B * x * y,
             A * x + B * y,
@@ -99,19 +99,19 @@ def _coeffs_from_rec(rec, sx, sy):
 def _coeffs_transpose(rec, dcoeffs, sx, sy):
     """Transpose of _coeffs_from_rec: route d(coeffs) [K, 8] back to
     d(x_blk, y_blk, A, B, Cc) [K, 5] (analytic VJP)."""
-    x = rec[:, 0] - sx
-    y = rec[:, 1] - sy
-    A = rec[:, 2]
-    B = rec[:, 3]
-    Cc = rec[:, 4]
-    d0, d1, d2 = dcoeffs[:, 0], dcoeffs[:, 1], dcoeffs[:, 2]
-    d3, d4, d5 = dcoeffs[:, 3], dcoeffs[:, 4], dcoeffs[:, 5]
+    x = rec[:, 0:1] - sx
+    y = rec[:, 1:2] - sy
+    A = rec[:, 2:3]
+    B = rec[:, 3:4]
+    Cc = rec[:, 4:5]
+    d0, d1, d2 = dcoeffs[:, 0:1], dcoeffs[:, 1:2], dcoeffs[:, 2:3]
+    d3, d4, d5 = dcoeffs[:, 3:4], dcoeffs[:, 4:5], dcoeffs[:, 5:6]
     dx = -d0 * (A * x + B * y) + d1 * A + d2 * B
     dy = -d0 * (Cc * y + B * x) + d1 * B + d2 * Cc
     dA = -0.5 * d0 * x * x + d1 * x - 0.5 * d3
     dB = -d0 * x * y + d1 * y + d2 * x - d5
     dCc = -0.5 * d0 * y * y + d2 * y - 0.5 * d4
-    return jnp.stack([dx, dy, dA, dB, dCc], axis=-1)
+    return jnp.concatenate([dx, dy, dA, dB, dCc], axis=-1)
 
 
 def _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r):
@@ -138,7 +138,7 @@ def _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r):
     pos_incl = incl + row_off           # inclusive global position
     pos0 = pos_incl - 1.0               # 0-based position
     sel = mf * (pos0 < K)
-    counts = row_off[-1, 0] + row_tot[-1, 0]
+    counts = jnp.sum(mf)                # scalar via reduction (no indexing)
     return sel, pos0, row_off, counts
 
 
@@ -157,12 +157,12 @@ def _compact(vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
     sel, pos0, row_off, counts = _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r)
     sel_s[...] = sel
     pos_s[...] = pos0
-    off_ref[...] = row_off[:, 0]
+    off_ref[...] = row_off.reshape((row_off.shape[0],))
     rec_ref[...] = jnp.zeros((K + CHUNK, 16), jnp.float32)
 
     def body(c, carry):
-        p_row = pos_s[c][None, :]       # [1, CHUNK]
-        s_row = sel_s[c][None, :]
+        p_row = pos_s[pl.ds(c, 1), :]   # [1, CHUNK]
+        s_row = sel_s[pl.ds(c, 1), :]
         cursor = off_ref[c]             # f32 scalar, exact integer
         # banded one-hot: output window rows [cursor, cursor + CHUNK)
         oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
@@ -227,7 +227,7 @@ def _forward_kernel(
         sx = (tx * TILE).astype(jnp.float32)
         sy = (ty * TILE).astype(jnp.float32)
         coeffs_t = _coeffs_from_rec(rec, sx, sy)
-        opac_t = rec[:, 5][None, :]
+        opac_t = jnp.transpose(rec[:, 5:6])  # [1, K]
         color_t = rec[:, 6 : 6 + C]
         out = _blend_forward(coeffs_t, opac_t, color_t, basis, triK, C)
         out_s[t] = out              # leading-dim dynamic store
@@ -267,7 +267,7 @@ def _backward_kernel(
         sx = (tx * TILE).astype(jnp.float32)
         sy = (ty * TILE).astype(jnp.float32)
         coeffs_t = _coeffs_from_rec(rec, sx, sy)
-        opac = rec[:, 5][None, :]
+        opac = jnp.transpose(rec[:, 5:6])  # [1, K]
         color = rec[:, 6 : 6 + C]
 
         # --- recompute blend fwd ---
@@ -314,8 +314,8 @@ def _backward_kernel(
         dalpha = jnp.where(live, dalpha, 0.0)
         dpower = dalpha * raw
         dopac = jnp.sum(
-            jnp.where(live, dalpha, 0.0) * jnp.exp(power), axis=0
-        )  # [K]
+            jnp.where(live, dalpha, 0.0) * jnp.exp(power), axis=0, keepdims=True
+        )  # [1, K]
         dcoeffs_t = jax.lax.dot_general(
             dpower, basis, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -326,7 +326,7 @@ def _backward_kernel(
         drec = jnp.concatenate(
             [
                 dxyabc,
-                dopac[:, None],
+                jnp.transpose(dopac),
                 dcolor,
                 jnp.zeros((K, 16 - 6 - C), jnp.float32),
             ],
@@ -339,8 +339,8 @@ def _backward_kernel(
         # --- transpose of compaction: route drec back to candidates ---
         # (sel/pos0/cursors are still in sel_s/pos_s/off_s from _compact)
         def chunk_body(c, carry):
-            p_row = pos_s[c][None, :]
-            s_row = sel_s[c][None, :]
+            p_row = pos_s[pl.ds(c, 1), :]
+            s_row = sel_s[pl.ds(c, 1), :]
             cursor = off_s[c]
             oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
             cur_i = jnp.minimum(cursor.astype(jnp.int32), K)
