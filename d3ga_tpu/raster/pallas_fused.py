@@ -139,11 +139,11 @@ def _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r):
     pos0 = pos_incl - 1.0               # 0-based position
     sel = mf * (pos0 < K)
     counts = jnp.sum(mf)                # scalar via reduction (no indexing)
-    return sel, pos0, row_off, counts
+    return sel, pos0, mf, counts
 
 
 def _compact(vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
-             rec_ref, sel_s, pos_s, off_ref):
+             rec_ref, sel_s, pos_s, mask_s):
     """Compact the first K overlapping records of this tile into the
     VMEM scratch `rec_ref` [K + CHUNK, 16] (zeroed here).
 
@@ -154,16 +154,20 @@ def _compact(vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
     vals_s: [NC, 16, CHUNK] VMEM scratch (block records, chunked);
     sel_s / pos_s: [NC, CHUNK] VMEM scratch; off_ref: [NC] SMEM.
     Returns counts (f32 scalar)."""
-    sel, pos0, row_off, counts = _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r)
+    sel, pos0, mask_all, counts = _tile_mask_positions(rects, tx, ty, K, tri_c, tri_r)
     sel_s[...] = sel
     pos_s[...] = pos0
-    off_ref[...] = row_off.reshape((row_off.shape[0],))
+    mask_s[...] = mask_all
     rec_ref[...] = jnp.zeros((K + CHUNK, 16), jnp.float32)
 
-    def body(c, carry):
+    def body(c, cursor):
+        # cursor = number of overlapping candidates in earlier chunks
+        # (carried as an exact-integer f32 scalar — SMEM holds scalars
+        # only and value int-indexing is not lowerable, so the carry IS
+        # the storage)
         p_row = pos_s[pl.ds(c, 1), :]   # [1, CHUNK]
         s_row = sel_s[pl.ds(c, 1), :]
-        cursor = off_ref[c]             # f32 scalar, exact integer
+        m_row = mask_s[pl.ds(c, 1), :]
         # banded one-hot: output window rows [cursor, cursor + CHUNK)
         oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
         vals_c = vals_s[c]              # [16, CHUNK]
@@ -173,9 +177,9 @@ def _compact(vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
         )  # [CHUNK, 16]
         cur_i = jnp.minimum(cursor.astype(jnp.int32), K)
         rec_ref[pl.ds(cur_i, CHUNK), :] = rec_ref[pl.ds(cur_i, CHUNK), :] + add
-        return carry
+        return cursor + jnp.sum(m_row)
 
-    jax.lax.fori_loop(0, NC, body, 0)
+    jax.lax.fori_loop(0, NC, body, jnp.float32(0.0))
     return counts
 
 
@@ -205,7 +209,7 @@ def _blend_forward(coeffs_t, opac_t, color_t, basis, triK, C):
 
 def _forward_kernel(
     K, C, NC, vals_ref, rects_ref, basis_ref, triK_ref, tric_ref, trir_ref,
-    out_ref, cnt_ref, rec_s, sel_s, pos_s, off_s, cnt_sm, vals_s, out_s,
+    out_ref, cnt_ref, rec_s, sel_s, pos_s, mask_s, cnt_sm, vals_s, out_s,
 ):
     basis = basis_ref[...]
     triK = triK_ref[...]
@@ -221,7 +225,7 @@ def _forward_kernel(
         ty = t // BLOCK
         counts = _compact(
             vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
-            rec_s, sel_s, pos_s, off_s,
+            rec_s, sel_s, pos_s, mask_s,
         )
         rec = rec_s[:K, :]
         sx = (tx * TILE).astype(jnp.float32)
@@ -243,7 +247,7 @@ def _forward_kernel(
 
 def _backward_kernel(
     K, C, NC, vals_ref, rects_ref, g_ref, basis_ref, triK_ref, tric_ref,
-    trir_ref, dvals_ref, rec_s, sel_s, pos_s, off_s, vals_s, dacc_s, g_s,
+    trir_ref, dvals_ref, rec_s, sel_s, pos_s, mask_s, vals_s, dacc_s, g_s,
 ):
     basis = basis_ref[...]
     triK = triK_ref[...]
@@ -261,7 +265,7 @@ def _backward_kernel(
         ty = t // BLOCK
         _compact(
             vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
-            rec_s, sel_s, pos_s, off_s,
+            rec_s, sel_s, pos_s, mask_s,
         )
         rec = rec_s[:K, :]
         sx = (tx * TILE).astype(jnp.float32)
@@ -337,11 +341,11 @@ def _backward_kernel(
         rec_s[:K, :] = drec
 
         # --- transpose of compaction: route drec back to candidates ---
-        # (sel/pos0/cursors are still in sel_s/pos_s/off_s from _compact)
-        def chunk_body(c, carry):
+        # (sel/pos0/mask rows are still in the scratches from _compact)
+        def chunk_body(c, cursor):
             p_row = pos_s[pl.ds(c, 1), :]
             s_row = sel_s[pl.ds(c, 1), :]
-            cursor = off_s[c]
+            m_row = mask_s[pl.ds(c, 1), :]
             oh = (p_row - cursor == iota_win) * s_row  # [CHUNK, CHUNK]
             cur_i = jnp.minimum(cursor.astype(jnp.int32), K)
             dwin = rec_s[pl.ds(cur_i, CHUNK), :]
@@ -351,9 +355,9 @@ def _backward_kernel(
                 precision=HIGHEST, preferred_element_type=jnp.float32,
             )  # [16, CHUNK]
             dacc_s[c] = dacc_s[c] + dvc
-            return carry
+            return cursor + jnp.sum(m_row)
 
-        jax.lax.fori_loop(0, NC, chunk_body, 0)
+        jax.lax.fori_loop(0, NC, chunk_body, jnp.float32(0.0))
         return 0
 
     jax.lax.fori_loop(0, TB, tile_body, 0)
@@ -399,7 +403,7 @@ def _run_forward(vals, rects, K, C, interpret=False):
             pltpu.VMEM((K + CHUNK, 16), jnp.float32),
             pltpu.VMEM((NC, CHUNK), jnp.float32),
             pltpu.VMEM((NC, CHUNK), jnp.float32),
-            pltpu.SMEM((NC,), jnp.float32),
+            pltpu.VMEM((NC, CHUNK), jnp.float32),
             pltpu.SMEM((TB,), jnp.int32),
             pltpu.VMEM((NC, 16, CHUNK), jnp.float32),
             pltpu.VMEM((TB, P, C + 1), jnp.float32),
@@ -425,7 +429,7 @@ def _run_backward(vals, rects, g, K, C, interpret=False):
             pltpu.VMEM((K + CHUNK, 16), jnp.float32),
             pltpu.VMEM((NC, CHUNK), jnp.float32),
             pltpu.VMEM((NC, CHUNK), jnp.float32),
-            pltpu.SMEM((NC,), jnp.float32),
+            pltpu.VMEM((NC, CHUNK), jnp.float32),
             pltpu.VMEM((NC, 16, CHUNK), jnp.float32),
             pltpu.VMEM((NC, 16, CHUNK), jnp.float32),
             pltpu.VMEM((TB, P, C + 1), jnp.float32),
