@@ -215,7 +215,9 @@ def _forward_kernel(
     triK = triK_ref[...]
     tri_c = tric_ref[...]
     tri_r = trir_ref[...]
-    iota_win = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, CHUNK), 0)
+    iota_win = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, CHUNK), 0
+    ).astype(jnp.float32)  # Mosaic: iota must be integer, cast after
 
     vals_s[...] = vals_ref[0]   # [NC, 16, CHUNK] into leading-dyn scratch
     rects = rects_ref[0]        # [NC, CHUNK]
@@ -253,7 +255,9 @@ def _backward_kernel(
     triK = triK_ref[...]
     tri_c = tric_ref[...]
     tri_r = trir_ref[...]
-    iota_win = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, CHUNK), 0)
+    iota_win = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, CHUNK), 0
+    ).astype(jnp.float32)  # Mosaic: iota must be integer, cast after
 
     vals_s[...] = vals_ref[0]   # [NC, 16, CHUNK]
     rects = rects_ref[0]        # [NC, CHUNK]
