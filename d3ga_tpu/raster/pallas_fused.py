@@ -412,6 +412,9 @@ def _run_forward(vals, rects, K, C, interpret=False):
             pltpu.VMEM((NC, 16, CHUNK), jnp.float32),
             pltpu.VMEM((TB, P, C + 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(vals, rects, *_tables(K, NC))
     return out, cnt[:, 0, :]
@@ -438,6 +441,9 @@ def _run_backward(vals, rects, g, K, C, interpret=False):
             pltpu.VMEM((NC, 16, CHUNK), jnp.float32),
             pltpu.VMEM((TB, P, C + 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(vals, rects, g, *_tables(K, NC))
     return dvals

@@ -66,6 +66,25 @@ def main():
         ),
     }
 
+    # fused select+compact+blend kernel forward parity
+    try:
+        from d3ga_tpu.raster.tiles import rasterize_tiled_fused
+
+        f_f = jax.jit(
+            lambda m, c6, op, co: rasterize_tiled_fused(
+                m, camera, bg, cov3d=c6, opacities=op, colors=co,
+                max_per_tile=MAX_PER_TILE,
+            )[0]
+        )
+        img_f = np.asarray(f_f(means, cov6, opac, colors))
+        d = np.abs(img_x - img_f)
+        report["forward_fused"] = {
+            "max_abs_err": float(d.max()),
+            "mean_abs_err": float(d.mean()),
+        }
+    except Exception as e:  # keep the blend-kernel report even if fused fails
+        report["forward_fused"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     g_x = jax.jit(jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3)))
     g_p = jax.jit(jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3)))
     gx = g_x(means, cov6, opac, colors)
