@@ -179,7 +179,12 @@ def _compact(vals_s, rects, tx, ty, K, NC, tri_c, tri_r, iota_win,
         rec_ref[pl.ds(cur_i, CHUNK), :] = rec_ref[pl.ds(cur_i, CHUNK), :] + add
         return cursor + jnp.sum(m_row)
 
-    jax.lax.fori_loop(0, NC, body, jnp.float32(0.0))
+    # static unroll: per-chunk work is tiny ([128,128] ops); a fori's
+    # per-iteration sequencing dominates it, unrolling lets Mosaic
+    # software-pipeline the chunk chain
+    cursor = jnp.float32(0.0)
+    for c in range(NC):
+        cursor = body(c, cursor)
     return counts
 
 
@@ -361,7 +366,9 @@ def _backward_kernel(
             dacc_s[c] = dacc_s[c] + dvc
             return cursor + jnp.sum(m_row)
 
-        jax.lax.fori_loop(0, NC, chunk_body, jnp.float32(0.0))
+        cursor = jnp.float32(0.0)
+        for c in range(NC):  # static unroll (see _compact)
+            cursor = chunk_body(c, cursor)
         return 0
 
     jax.lax.fori_loop(0, TB, tile_body, 0)
