@@ -40,6 +40,75 @@ class RasterAux(NamedTuple):
     n_contrib: jnp.ndarray     # [] int32: total selected entries
 
 
+def _coarse_block_lists(
+    rects, valid_sorted, ranks, nbx, nby, block, kb, super_factor=2,
+):
+    """Rank-ascending candidate lists per `block`x`block`-tile block.
+
+    Three-level funnel: the expensive masked top_k over all N runs at
+    SUPERBLOCK granularity (super_factor x super_factor blocks — 4.5x
+    fewer rows over N than the block-level top_k, which measured
+    ~11.5 ms of the step at Goliath scale); blocks then select from
+    their superblock's list (tiny second top_k). Semantics are
+    identical as long as the superblock list cap is not exceeded —
+    drops past either cap are reported in block_overflow.
+
+    Returns (block_ranks [NB, kb] ascending with BIG_RANK pad,
+    block_counts [NB], block_overflow [])."""
+    xmin, xmax, ymin, ymax = rects
+    n = xmin.shape[0]
+    n_blocks = nbx * nby
+    bids = jnp.arange(n_blocks, dtype=jnp.int32)
+    bx0 = (bids % nbx) * block
+    by0 = (bids // nbx) * block
+
+    sb = block * super_factor
+    nsx = -(-nbx // super_factor)
+    nsy = -(-nby // super_factor)
+    n_super = nsx * nsy
+    ksb = min(kb * super_factor * super_factor, n)
+    sids = jnp.arange(n_super, dtype=jnp.int32)
+    sx0 = (sids % nsx) * sb
+    sy0 = (sids // nsx) * sb
+    s_overlap = (
+        valid_sorted[None, :]
+        & (sx0[:, None] < xmax[None, :])
+        & (sx0[:, None] + sb > xmin[None, :])
+        & (sy0[:, None] < ymax[None, :])
+        & (sy0[:, None] + sb > ymin[None, :])
+    )  # [NS, N]
+    s_score = jnp.where(s_overlap, ranks[None, :], BIG_RANK)
+    super_ranks = -jax.lax.top_k(-s_score, ksb)[0]  # [NS, ksb] ascending
+    super_counts = jnp.sum(s_overlap.astype(jnp.int32), axis=-1)
+    super_overflow = jnp.sum(jnp.maximum(super_counts - ksb, 0))
+
+    # blocks pick from their superblock's candidate list
+    super_of_block = (by0 // sb) * nsx + (bx0 // sb)
+    cand = super_ranks[super_of_block]                # [NB, ksb]
+    cval = cand < BIG_RANK
+    safe = jnp.where(cval, cand, 0)
+    cxmin = xmin[safe]
+    cxmax = xmax[safe]
+    cymin = ymin[safe]
+    cymax = ymax[safe]
+    b_overlap = (
+        cval
+        & (bx0[:, None] < cxmax)
+        & (bx0[:, None] + block > cxmin)
+        & (by0[:, None] < cymax)
+        & (by0[:, None] + block > cymin)
+    )  # [NB, ksb]
+    b_score = jnp.where(b_overlap, cand, BIG_RANK)
+    block_ranks = -jax.lax.top_k(-b_score, min(kb, ksb))[0]
+    if kb > ksb:
+        block_ranks = jnp.pad(
+            block_ranks, ((0, 0), (0, kb - ksb)), constant_values=BIG_RANK
+        )
+    block_counts = jnp.sum(b_overlap.astype(jnp.int32), axis=-1)
+    block_overflow = super_overflow + jnp.sum(jnp.maximum(block_counts - kb, 0))
+    return block_ranks, block_counts, block_overflow
+
+
 def _select_per_tile(
     rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K,
     tile_ids=None, block=8, block_cap=4096,
@@ -80,23 +149,10 @@ def _select_per_tile(
     # Pack the rect into one int32 (tile grids are < 256 on a side).
     packed = xmin | (xmax << 8) | (ymin << 16) | (ymax << 24)
 
-    # --- coarse: block-level candidate lists (batched top_k) ---------------
-    # top_k over the few dozen blocks is cheap; it returns the frontmost
-    # kb ranks per block in ascending order (entries are already ranks).
-    bids = jnp.arange(n_blocks, dtype=jnp.int32)
-    bx0 = (bids % nbx) * block
-    by0 = (bids // nbx) * block
-    b_overlap = (
-        valid_sorted[None, :]
-        & (bx0[:, None] < xmax[None, :])
-        & (bx0[:, None] + block > xmin[None, :])
-        & (by0[:, None] < ymax[None, :])
-        & (by0[:, None] + block > ymin[None, :])
+    block_ranks, block_counts, block_overflow = _coarse_block_lists(
+        (xmin, xmax, ymin, ymax), valid_sorted, ranks,
+        nbx, nby, block, kb,
     )
-    b_score = jnp.where(b_overlap, ranks[None, :], BIG_RANK)
-    block_ranks = -jax.lax.top_k(-b_score, kb)[0]  # [n_blocks, kb] ascending
-    block_counts = jnp.sum(b_overlap.astype(jnp.int32), axis=-1)
-    block_overflow = jnp.sum(jnp.maximum(block_counts - kb, 0))
 
     # --- fine: per-tile first-K among block candidates ---------------------
     # Block-major layout: the candidate records (rank + packed rect) are
@@ -415,21 +471,12 @@ def rasterize_tiled_fused(
     xmin, xmax, ymin, ymax = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
     ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
-    # --- coarse: block candidate lists (as in _select_per_tile) --------
     bids = jnp.arange(n_blocks, dtype=jnp.int32)
     bx0 = (bids % nbx) * BLOCK
     by0 = (bids // nbx) * BLOCK
-    b_overlap = (
-        valid_s[None, :]
-        & (bx0[:, None] < xmax[None, :])
-        & (bx0[:, None] + BLOCK > xmin[None, :])
-        & (by0[:, None] < ymax[None, :])
-        & (by0[:, None] + BLOCK > ymin[None, :])
+    block_ranks, block_counts, block_overflow = _coarse_block_lists(
+        (xmin, xmax, ymin, ymax), valid_s, ranks, nbx, nby, BLOCK, kb
     )
-    b_score = jnp.where(b_overlap, ranks[None, :], BIG_RANK)
-    block_ranks = -jax.lax.top_k(-b_score, kb)[0]  # [NB, kb] ascending
-    block_counts = jnp.sum(b_overlap.astype(jnp.int32), axis=-1)
-    block_overflow = jnp.sum(jnp.maximum(block_counts - kb, 0))
     # the kernel consumes whole 128-lane chunks
     kb_pad = (-kb) % 128
     if kb_pad:
