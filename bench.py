@@ -104,10 +104,12 @@ def main():
             return jnp.mean(jnp.abs(img - target))
     else:
 
+        kb = int(os.environ.get("BENCH_KB", "4096"))
+
         def loss_fn(means, cov6, opac, colors):
             img, _ = rasterize_tiled(
                 means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
-                max_per_tile=MAX_PER_TILE, use_pallas=use_pallas,
+                max_per_tile=MAX_PER_TILE, block_cap=kb, use_pallas=use_pallas,
             )
             return jnp.mean(jnp.abs(img - target))
 

@@ -679,6 +679,7 @@ def rasterize_tiled(
     scale_modifier: float = 1.0,
     antialiasing: bool = False,
     max_per_tile: int = 256,
+    block_cap: int = 4096,
     return_alpha: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
@@ -720,7 +721,7 @@ def rasterize_tiled(
 
     rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
     ranks, counts, block_overflow = _select_per_tile(
-        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile
+        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile, block_cap=block_cap
     )
     sel_valid = ranks < BIG_RANK
     # Clamp padding ranks to 0 for safe gathers (masked out by sel_valid).
