@@ -19,7 +19,7 @@ Artifacts (cage meshes, face_to_label, sampled init) are cached under
 """
 
 import os
-from typing import Dict, Iterator, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ the silhouette (optionally with detached position/covariance/opacity).
 """
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
