@@ -431,12 +431,16 @@ def rasterize_tiled_fused(
     block_cap: int = 4096,
     return_alpha: bool = False,
     interpret: bool = False,
+    variant: int = 2,
 ):
-    """Rasterize via the fused select+compact+blend Pallas kernel
-    (pallas_fused.py): XLA does projection, depth sort and the coarse
-    8x8-tile-block binning; ONE kernel performs per-tile selection,
-    record compaction and alpha blending. Output matches
-    `rasterize_tiled` semantics (per-tile K cap + overflow counters)."""
+    """Rasterize via the fused select+compact+blend Pallas kernel:
+    XLA does projection, depth sort and the coarse 8x8-tile-block
+    binning; ONE kernel performs per-tile selection, record compaction
+    and alpha blending. Output matches `rasterize_tiled` semantics
+    (per-tile K cap + overflow counters).
+
+    variant=1: banded one-hot matmul compaction (pallas_fused.py);
+    variant=2: butterfly lane-roll compaction (pallas_fused2.py)."""
     from d3ga_tpu.raster.pallas_fused import BLOCK, fused_select_blend
 
     # Pallas TPU kernels only run compiled on TPU; fall back to the
@@ -501,10 +505,6 @@ def rasterize_tiled_fused(
     vals = jnp.concatenate(
         [xy_local, conic_b, opac_b[..., None], color_b, pad], axis=-1
     )  # [NB, kb, 16]
-    NC = kb // 128
-    vals = jnp.transpose(
-        vals.reshape(n_blocks, NC, 128, 16), (0, 1, 3, 2)
-    )  # [NB, NC, 16, 128]
 
     # --- block-local clamped rects (invalid -> 0 = never overlaps) -----
     lxmin = jnp.clip(xmin[safe] - bx0[:, None], 0, BLOCK)
@@ -515,9 +515,25 @@ def rasterize_tiled_fused(
         cand_ok,
         lxmin | (lxmax << 8) | (lymin << 16) | (lymax << 24),
         0,
-    ).reshape(n_blocks, NC, 128)
+    )  # [NB, kb]
 
-    tiles, counts = fused_select_blend(vals, rects_l, max_per_tile, C, interpret)
+    if variant == 2:
+        from d3ga_tpu.raster.pallas_fused2 import fused_select_blend2
+
+        tiles, counts = fused_select_blend2(
+            jnp.transpose(vals, (0, 2, 1)),       # [NB, 16, kb]
+            rects_l[:, None, :],                   # [NB, 1, kb]
+            max_per_tile, C, interpret,
+        )
+    else:
+        NC = kb // 128
+        tiles, counts = fused_select_blend(
+            jnp.transpose(
+                vals.reshape(n_blocks, NC, 128, 16), (0, 1, 3, 2)
+            ),                                     # [NB, NC, 16, 128]
+            rects_l.reshape(n_blocks, NC, 128),
+            max_per_tile, C, interpret,
+        )
     # tiles [NB, 64, 256, C+1]; T_bg in the last channel
 
     # --- untile (padded block grid, then crop) -------------------------

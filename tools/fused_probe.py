@@ -23,6 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from d3ga_tpu.raster.pallas_fused import CHUNK, fused_select_blend
+from d3ga_tpu.raster.pallas_fused2 import fused_select_blend2
+
+VARIANT = int(os.environ.get("FUSED_VARIANT", "1"))
 
 
 def make_inputs(NB, NC, C, seed=0):
@@ -40,14 +43,19 @@ def make_inputs(NB, NC, C, seed=0):
         [np.stack([x, y, A, B, Cc, op], -1), cols,
          np.zeros((NB, kb, 16 - 6 - C), np.float32)], -1
     )
-    vals = vals.reshape(NB, NC, CHUNK, 16).transpose(0, 1, 3, 2).copy()
     # rects: ~2x2-tile footprints
     xm = (x // 16).astype(np.int32)
     ym = (y // 16).astype(np.int32)
     xM = np.minimum(xm + 2, 8)
     yM = np.minimum(ym + 2, 8)
-    rects = (xm | (xM << 8) | (ym << 16) | (yM << 24)).reshape(NB, NC, CHUNK)
-    return jnp.asarray(vals), jnp.asarray(rects)
+    rects = xm | (xM << 8) | (ym << 16) | (yM << 24)
+    if VARIANT == 2:
+        return (
+            jnp.asarray(vals.transpose(0, 2, 1).copy()),       # [NB, 16, kb]
+            jnp.asarray(rects[:, None, :]),                     # [NB, 1, kb]
+        )
+    vals = vals.reshape(NB, NC, CHUNK, 16).transpose(0, 1, 3, 2).copy()
+    return jnp.asarray(vals), jnp.asarray(rects.reshape(NB, NC, CHUNK))
 
 
 def chain(name, fn, *args, iters=10):
@@ -69,14 +77,18 @@ def chain(name, fn, *args, iters=10):
     print(f"{name:34s} compile+1st {t_compile:7.1f}s   {dt:8.2f} ms/iter", flush=True)
 
 
+SEL = fused_select_blend2 if VARIANT == 2 else fused_select_blend
+
+
 def main():
+    print(f"variant {VARIANT}")
     K = 256
     C = 3
     for NB, NC in ((2, 4), (8, 8)):
         vals, rects = make_inputs(NB, NC, C)
         chain(
             f"fwd NB={NB} NC={NC}",
-            lambda v, r, s: fused_select_blend(v + s * 0, r, K, C, False)[0],
+            lambda v, r, s: SEL(v + s * 0, r, K, C, False)[0],
             vals, rects, iters=5,
         )
 
@@ -84,12 +96,12 @@ def main():
     vals, rects = make_inputs(54, 32, C)
     chain(
         "fwd goliath NB=54 NC=32",
-        lambda v, r, s: fused_select_blend(v + s * 0, r, K, C, False)[0],
+        lambda v, r, s: SEL(v + s * 0, r, K, C, False)[0],
         vals, rects,
     )
 
     def loss(v, r, s):
-        out, _ = fused_select_blend(v + s * 0, r, K, C, False)
+        out, _ = SEL(v + s * 0, r, K, C, False)
         return jnp.sum(out)
 
     chain(
