@@ -105,23 +105,33 @@ def main():
     else:
 
         kb = int(os.environ.get("BENCH_KB", "4096"))
+        sub_block = int(os.environ.get("BENCH_SUB_BLOCK", "0"))
+        sub_cap = int(os.environ.get("BENCH_SUB_CAP", "1024"))
+        super_factor = int(os.environ.get("BENCH_SF", "2"))
 
         def loss_fn(means, cov6, opac, colors):
             img, _ = rasterize_tiled(
                 means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
                 max_per_tile=MAX_PER_TILE, block_cap=kb, use_pallas=use_pallas,
+                sub_block=sub_block, sub_cap=sub_cap, super_factor=super_factor,
             )
             return jnp.mean(jnp.abs(img - target))
 
     # Chained steps (params updated from grads, true data dependencies)
-    # run inside ONE device dispatch via lax.fori_loop: measures
-    # sustained device throughput. (block_until_ready through the axon
-    # tunnel is not reliably synchronous and per-dispatch RTT is tens of
-    # ms, so host-side loops under-report badly; a production training
-    # loop amortizes dispatch the same way.)
+    # run inside ONE device dispatch via lax.scan: measures sustained
+    # device throughput. (block_until_ready through the axon tunnel is
+    # not reliably synchronous and per-dispatch RTT is tens of ms, so
+    # host-side loops under-report badly; a production training loop
+    # amortizes dispatch the same way.)
+    #
+    # unroll: this rig pays a ~3 ms floor PER LOOP ITERATION (the axon
+    # tunnel round-trips loop control; tools/rig_probe.py E4), so the
+    # scan body is unrolled to amortize it — exactly what a production
+    # training loop on this transport would do.
     iters = 20
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
-    def one_step(_, carry):
+    def one_step(carry, _):
         means, cov6, opac, colors, _ = carry
         loss, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
             means, cov6, opac, colors
@@ -133,12 +143,44 @@ def main():
             opac - lr * g[2],
             colors - lr * g[3],
             loss,
-        )
+        ), None
 
     @jax.jit
     def run(means, cov6, opac, colors):
         init = (means, cov6, opac, colors, jnp.float32(0))
-        return jax.lax.fori_loop(0, iters, one_step, init)[-1]
+        return jax.lax.scan(
+            one_step, init, None, length=iters, unroll=unroll
+        )[0][-1]
+
+    if os.environ.get("BENCH_CHECK", "0") == "1":
+        # one-off semantic check: report selection-cap overflow so cap
+        # sweeps stay honest (drops are counted, never silent)
+        import sys
+
+        if batch > 1:
+            _, aux = jax.jit(
+                lambda m, c, o, col: rasterize_tiled_batch(
+                    m, cams, bg, cov3d=c, opacities=o, colors=col,
+                    max_per_tile=MAX_PER_TILE, use_pallas=use_pallas,
+                )
+            )(means, cov6, opac, colors)
+        else:
+            _, aux = jax.jit(
+                lambda m, c, o, col: rasterize_tiled(
+                    m, camera, bg, cov3d=c, opacities=o, colors=col,
+                    max_per_tile=MAX_PER_TILE,
+                    block_cap=int(os.environ.get("BENCH_KB", "4096")),
+                    sub_block=int(os.environ.get("BENCH_SUB_BLOCK", "0")),
+                    sub_cap=int(os.environ.get("BENCH_SUB_CAP", "1024")),
+                    super_factor=int(os.environ.get("BENCH_SF", "2")),
+                    use_pallas=use_pallas,
+                )
+            )(means, cov6, opac, colors)
+        print(
+            f"overflow={int(aux.overflow)} max_per_tile={int(aux.max_per_tile)}"
+            f" n_contrib={int(aux.n_contrib)}",
+            file=sys.stderr,
+        )
 
     # warmup/compile
     float(np.asarray(run(means, cov6, opac, colors)))

@@ -46,6 +46,10 @@ def rasterize_collective(
     shs=None,
     sh_degree: int = 0,
     max_per_tile: int = 256,
+    block_cap: int = 4096,
+    sub_block: int = 0,
+    sub_cap: int = 1024,
+    super_factor: int = 2,
 ):
     """Rasterize from per-shard Gaussian arrays; returns (image, aux):
     the full [C, H, W] image (replicated within the axis group) and a
@@ -106,7 +110,9 @@ def rasterize_collective(
     tile_ids = jnp.minimum(tile_ids, n_tiles - 1)  # clamp padding tiles
 
     ranks, counts, block_overflow = _select_per_tile(
-        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile, tile_ids=tile_ids
+        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile, tile_ids=tile_ids,
+        block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
+        super_factor=super_factor,
     )
     sel_valid = ranks < BIG_RANK
     safe = jnp.where(sel_valid, ranks, 0)
@@ -164,6 +170,10 @@ def rasterize_sharded(
     shs=None,
     sh_degree: int = 0,
     max_per_tile: int = 256,
+    block_cap: int = 4096,
+    sub_block: int = 0,
+    sub_cap: int = 1024,
+    super_factor: int = 2,
     axis: str = "model",
 ):
     """Top-level wrapper: shards full Gaussian arrays over `axis`, runs
@@ -218,6 +228,8 @@ def rasterize_sharded(
             n_shards=m,
             sh_degree=sh_degree,
             max_per_tile=max_per_tile,
+            block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
+            super_factor=super_factor,
             **{k: local.get(k) for k in args},
         )
         return img, jax.lax.psum(aux.overflow, axis)

@@ -28,6 +28,11 @@ class RasterSettings:
     antialiasing: bool = False
     max_per_tile: int = 256
     backend: str = "tiled"  # "tiled" | "oracle" | "pallas" | "fused"
+    # selection-funnel knobs (see tiles._select_per_tile)
+    block_cap: int = 4096
+    sub_block: int = 0
+    sub_cap: int = 1024
+    super_factor: int = 2
 
 
 def rasterize(
@@ -73,6 +78,10 @@ def rasterize(
             bg_color,
             max_per_tile=settings.max_per_tile,
             use_pallas=settings.backend == "pallas",
+            block_cap=settings.block_cap,
+            sub_block=settings.sub_block,
+            sub_cap=settings.sub_cap,
+            super_factor=settings.super_factor,
             **kwargs,
         )
         return img, aux

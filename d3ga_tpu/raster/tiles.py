@@ -40,8 +40,53 @@ class RasterAux(NamedTuple):
     n_contrib: jnp.ndarray     # [] int32: total selected entries
 
 
+def _refine_lists(parent_ranks, parent_packed, parent_of_child, cx0, cy0, csize, cap):
+    """One funnel level: each child region selects the first-`cap`
+    (rank-ascending) candidates overlapping it from its parent's list.
+
+    parent_ranks/parent_packed: [P, kp] rank-ascending lists (BIG_RANK /
+    0 padding) with the packed tile rect carried alongside so no random
+    gathers over N are needed; parent_of_child: [C] parent row per
+    child; cx0/cy0: [C] child origin in tile units; csize: child extent
+    in tiles. Returns (child_ranks [C, cap], child_packed [C, cap],
+    child_counts [C], overflow [])."""
+    kp = parent_ranks.shape[1]
+    cand = parent_ranks[parent_of_child]          # [C, kp] row gathers
+    cpacked = parent_packed[parent_of_child]
+    cval = cand < BIG_RANK
+    cxmin = cpacked & 0xFF
+    cxmax = (cpacked >> 8) & 0xFF
+    cymin = (cpacked >> 16) & 0xFF
+    cymax = (cpacked >> 24) & 0xFF
+    ov = (
+        cval
+        & (cx0[:, None] < cxmax)
+        & (cx0[:, None] + csize > cxmin)
+        & (cy0[:, None] < cymax)
+        & (cy0[:, None] + csize > cymin)
+    )  # [C, kp]
+    # First-cap-set-bits selection on POSITIONS (the list is already
+    # rank-ascending) so rank and packed rect ride the same gather.
+    j = jax.lax.broadcasted_iota(jnp.int32, ov.shape, 1)
+    key = jnp.where(ov, j, kp)
+    first = -jax.lax.top_k(-key, min(cap, kp))[0]   # ascending positions
+    hit = first < kp
+    safe = jnp.where(hit, first, 0)
+    child_ranks = jnp.where(hit, jnp.take_along_axis(cand, safe, axis=1), BIG_RANK)
+    child_packed = jnp.where(hit, jnp.take_along_axis(cpacked, safe, axis=1), 0)
+    if cap > kp:
+        child_ranks = jnp.pad(
+            child_ranks, ((0, 0), (0, cap - kp)), constant_values=BIG_RANK
+        )
+        child_packed = jnp.pad(child_packed, ((0, 0), (0, cap - kp)))
+    counts = jnp.sum(ov.astype(jnp.int32), axis=-1)
+    overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+    return child_ranks, child_packed, counts, overflow
+
+
 def _coarse_block_lists(
     rects, valid_sorted, ranks, nbx, nby, block, kb, super_factor=2,
+    packed=None,
 ):
     """Rank-ascending candidate lists per `block`x`block`-tile block.
 
@@ -54,6 +99,7 @@ def _coarse_block_lists(
     drops past either cap are reported in block_overflow.
 
     Returns (block_ranks [NB, kb] ascending with BIG_RANK pad,
+    block_packed [NB, kb] the candidates' packed tile rects,
     block_counts [NB], block_overflow [])."""
     xmin, xmax, ymin, ymax = rects
     n = xmin.shape[0]
@@ -61,6 +107,27 @@ def _coarse_block_lists(
     bids = jnp.arange(n_blocks, dtype=jnp.int32)
     bx0 = (bids % nbx) * block
     by0 = (bids // nbx) * block
+    if packed is None:
+        packed = xmin | (xmax << 8) | (ymin << 16) | (ymax << 24)
+
+    if super_factor <= 1:
+        # two-level form: masked top_k over all N directly per block
+        b_overlap = (
+            valid_sorted[None, :]
+            & (bx0[:, None] < xmax[None, :])
+            & (bx0[:, None] + block > xmin[None, :])
+            & (by0[:, None] < ymax[None, :])
+            & (by0[:, None] + block > ymin[None, :])
+        )  # [NB, N]
+        b_score = jnp.where(b_overlap, ranks[None, :], BIG_RANK)
+        block_ranks = -jax.lax.top_k(-b_score, kb)[0]
+        bval = block_ranks < BIG_RANK
+        block_packed = jnp.where(
+            bval, packed[jnp.where(bval, block_ranks, 0)], 0
+        )
+        block_counts = jnp.sum(b_overlap.astype(jnp.int32), axis=-1)
+        block_overflow = jnp.sum(jnp.maximum(block_counts - kb, 0))
+        return block_ranks, block_packed, block_counts, block_overflow
 
     sb = block * super_factor
     nsx = -(-nbx // super_factor)
@@ -79,57 +146,49 @@ def _coarse_block_lists(
     )  # [NS, N]
     s_score = jnp.where(s_overlap, ranks[None, :], BIG_RANK)
     super_ranks = -jax.lax.top_k(-s_score, ksb)[0]  # [NS, ksb] ascending
+    sval = super_ranks < BIG_RANK
+    super_packed = jnp.where(sval, packed[jnp.where(sval, super_ranks, 0)], 0)
     super_counts = jnp.sum(s_overlap.astype(jnp.int32), axis=-1)
     super_overflow = jnp.sum(jnp.maximum(super_counts - ksb, 0))
 
     # blocks pick from their superblock's candidate list
     super_of_block = (by0 // sb) * nsx + (bx0 // sb)
-    cand = super_ranks[super_of_block]                # [NB, ksb]
-    cval = cand < BIG_RANK
-    safe = jnp.where(cval, cand, 0)
-    cxmin = xmin[safe]
-    cxmax = xmax[safe]
-    cymin = ymin[safe]
-    cymax = ymax[safe]
-    b_overlap = (
-        cval
-        & (bx0[:, None] < cxmax)
-        & (bx0[:, None] + block > cxmin)
-        & (by0[:, None] < cymax)
-        & (by0[:, None] + block > cymin)
-    )  # [NB, ksb]
-    b_score = jnp.where(b_overlap, cand, BIG_RANK)
-    block_ranks = -jax.lax.top_k(-b_score, min(kb, ksb))[0]
-    if kb > ksb:
-        block_ranks = jnp.pad(
-            block_ranks, ((0, 0), (0, kb - ksb)), constant_values=BIG_RANK
-        )
-    block_counts = jnp.sum(b_overlap.astype(jnp.int32), axis=-1)
-    block_overflow = super_overflow + jnp.sum(jnp.maximum(block_counts - kb, 0))
-    return block_ranks, block_counts, block_overflow
+    block_ranks, block_packed, block_counts, b_overflow = _refine_lists(
+        super_ranks, super_packed, super_of_block, bx0, by0, block, kb
+    )
+    return (
+        block_ranks,
+        block_packed,
+        block_counts,
+        super_overflow + b_overflow,
+    )
 
 
 def _select_per_tile(
     rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K,
-    tile_ids=None, block=8, block_cap=4096,
+    tile_ids=None, block=8, block_cap=4096, sub_block=0, sub_cap=1024,
+    super_factor=2,
 ):
-    """Two-level tile binning (all inputs in depth-rank order).
+    """Funnel tile binning (all inputs in depth-rank order).
 
     Per-tile top_k over all N Gaussians is prohibitively slow on TPU
-    (sorting networks scale with N); instead both levels use
-    first-K-set-bits selection (cumsum positions + scatter — no sorting
-    at all, entries are already rank-ascending):
+    (sorting networks scale with N); instead every level uses
+    first-K-set-bits selection on already-rank-ascending lists:
 
-      1. coarse: for each block of `block` x `block` tiles, scatter the
-         ranks of the first `block_cap` overlapping Gaussians,
-      2. fine: each tile tests only its block's candidate list; the four
-         tile-rect bounds are packed into ONE int32 so the fine stage
-         does a single random gather instead of four.
+      1. coarse: superblock then `block` x `block`-tile candidate lists
+         (see `_coarse_block_lists`),
+      2. optional sub-block level (`sub_block` x `sub_block` tiles, cap
+         `sub_cap`): shrinks the per-tile candidate lists so the fine
+         top_k, its mask build and the record gathers all scale down by
+         block_cap/sub_cap,
+      3. fine: each tile tests only its (sub-)block's candidate list;
+         the four tile-rect bounds are packed into ONE int32 carried
+         down the funnel so no level randomly gathers over N.
 
     rects_sorted: (xmin, xmax, ymin, ymax) [N] in rank order;
     valid_sorted: [N] bool in rank order.
     Returns (ranks [T, K] int32 with BIG_RANK padding, counts [T] int32,
-    block_overflow [] int32 — Gaussians dropped past block_cap).
+    block_overflow [] int32 — Gaussians dropped past any funnel cap).
     """
     xmin, xmax, ymin, ymax = rects_sorted
     n = xmin.shape[0]
@@ -142,36 +201,45 @@ def _select_per_tile(
     )
     nbx = -(-n_tiles_x // block)
     nby = -(-n_tiles_y // block)
-    n_blocks = nbx * nby
     kb = min(block_cap, n)
 
     ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     # Pack the rect into one int32 (tile grids are < 256 on a side).
     packed = xmin | (xmax << 8) | (ymin << 16) | (ymax << 24)
 
-    block_ranks, block_counts, block_overflow = _coarse_block_lists(
+    parent_ranks, parent_packed, _, block_overflow = _coarse_block_lists(
         (xmin, xmax, ymin, ymax), valid_sorted, ranks,
-        nbx, nby, block, kb,
+        nbx, nby, block, kb, super_factor=super_factor, packed=packed,
     )
+    pblock, npx = block, nbx
 
-    # --- fine: per-tile first-K among block candidates ---------------------
-    # Block-major layout: the candidate records (rank + packed rect) are
-    # gathered ONCE per block (row gathers), then every tile of the
-    # block tests them with pure VPU compares — no per-tile random
-    # gathers.
+    if sub_block and sub_block < block and sub_cap < kb:
+        nsbx = -(-n_tiles_x // sub_block)
+        nsby = -(-n_tiles_y // sub_block)
+        sbids = jnp.arange(nsbx * nsby, dtype=jnp.int32)
+        sbx0 = (sbids % nsbx) * sub_block
+        sby0 = (sbids // nsbx) * sub_block
+        block_of_sub = (sby0 // block) * nbx + (sbx0 // block)
+        parent_ranks, parent_packed, _, sub_overflow = _refine_lists(
+            parent_ranks, parent_packed, block_of_sub, sbx0, sby0,
+            sub_block, sub_cap,
+        )
+        block_overflow = block_overflow + sub_overflow
+        pblock, npx = sub_block, nsbx
+
+    # --- fine: per-tile first-K among (sub-)block candidates ---------------
+    # Block-major layout: candidate rank + packed rect ride the funnel,
+    # so the fine stage is row gathers + pure VPU compares.
     if tile_ids is None:
         tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
     T = tile_ids.shape[0]
     txs = tile_ids % n_tiles_x
     tys = tile_ids // n_tiles_x
-    block_of_tile = (tys // block) * nbx + (txs // block)
+    block_of_tile = (tys // pblock) * npx + (txs // pblock)
+    kb = parent_ranks.shape[1]
 
-    cvalid_b = block_ranks < BIG_RANK            # [n_blocks, kb]
-    safe_b = jnp.where(cvalid_b, block_ranks, 0)
-    packed_b = jnp.where(cvalid_b, packed[safe_b], 0)  # [n_blocks, kb]
-
-    cand = block_ranks[block_of_tile]            # [T, kb] row gathers
-    cpacked = packed_b[block_of_tile]            # [T, kb] row gathers
+    cand = parent_ranks[block_of_tile]           # [T, kb] row gathers
+    cpacked = parent_packed[block_of_tile]       # [T, kb] row gathers
     cvalid = cand < BIG_RANK
     cxmin = cpacked & 0xFF
     cxmax = (cpacked >> 8) & 0xFF
@@ -478,7 +546,7 @@ def rasterize_tiled_fused(
     bids = jnp.arange(n_blocks, dtype=jnp.int32)
     bx0 = (bids % nbx) * BLOCK
     by0 = (bids // nbx) * BLOCK
-    block_ranks, block_counts, block_overflow = _coarse_block_lists(
+    block_ranks, _, block_counts, block_overflow = _coarse_block_lists(
         (xmin, xmax, ymin, ymax), valid_s, ranks, nbx, nby, BLOCK, kb
     )
     # the kernel consumes whole 128-lane chunks
@@ -696,6 +764,9 @@ def rasterize_tiled(
     antialiasing: bool = False,
     max_per_tile: int = 256,
     block_cap: int = 4096,
+    sub_block: int = 0,
+    sub_cap: int = 1024,
+    super_factor: int = 2,
     return_alpha: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
@@ -737,7 +808,9 @@ def rasterize_tiled(
 
     rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
     ranks, counts, block_overflow = _select_per_tile(
-        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile, block_cap=block_cap
+        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
+        block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
+        super_factor=super_factor,
     )
     sel_valid = ranks < BIG_RANK
     # Clamp padding ranks to 0 for safe gathers (masked out by sel_valid).

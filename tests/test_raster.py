@@ -141,6 +141,42 @@ class TestTiledMatchesOracle:
         assert aux.overflow == 0
         np.testing.assert_allclose(img, ref, atol=2e-5)
 
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(super_factor=1),
+            dict(super_factor=1, sub_block=4, sub_cap=256),
+            dict(super_factor=2, sub_block=4, sub_cap=256),
+            dict(super_factor=2, sub_block=2, sub_cap=256),
+            dict(block_cap=512, super_factor=2, sub_block=4, sub_cap=256),
+        ],
+    )
+    def test_funnel_variants_match(self, kw):
+        # Every funnel configuration (levels, factors, caps) must select
+        # the identical per-tile rank lists when no cap overflows.
+        from d3ga_tpu.raster.tiles import _select_per_tile
+
+        rng = np.random.default_rng(3)
+        n, ntx, nty = 600, 16, 12
+        x0 = rng.integers(0, ntx, size=n)
+        y0 = rng.integers(0, nty, size=n)
+        w = rng.integers(1, 3, size=n)
+        h = rng.integers(1, 3, size=n)
+        rects = (
+            jnp.asarray(x0, jnp.int32),
+            jnp.asarray(np.minimum(x0 + w, ntx), jnp.int32),
+            jnp.asarray(y0, jnp.int32),
+            jnp.asarray(np.minimum(y0 + h, nty), jnp.int32),
+        )
+        valid = jnp.asarray(rng.uniform(size=n) > 0.05)
+        ref, ref_counts, ref_ov = _select_per_tile(
+            rects, valid, ntx, nty, 64, super_factor=1
+        )
+        out, counts, ov = _select_per_tile(rects, valid, ntx, nty, 64, **kw)
+        assert int(ref_ov) == 0 and int(ov) == 0
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_saturated_early_termination(self):
         # Stack many opaque gaussians: T < 1e-4 termination must match.
         cam = simple_camera()
