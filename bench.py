@@ -108,12 +108,15 @@ def main():
         sub_block = int(os.environ.get("BENCH_SUB_BLOCK", "0"))
         sub_cap = int(os.environ.get("BENCH_SUB_CAP", "1024"))
         super_factor = int(os.environ.get("BENCH_SF", "2"))
+        coarse = os.environ.get("BENCH_COARSE", "topk")
+        dup = int(os.environ.get("BENCH_DUP", "2"))
 
         def loss_fn(means, cov6, opac, colors):
             img, _ = rasterize_tiled(
                 means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
                 max_per_tile=MAX_PER_TILE, block_cap=kb, use_pallas=use_pallas,
                 sub_block=sub_block, sub_cap=sub_cap, super_factor=super_factor,
+                coarse=coarse, dup=dup,
             )
             return jnp.mean(jnp.abs(img - target))
 
@@ -173,6 +176,8 @@ def main():
                     sub_block=int(os.environ.get("BENCH_SUB_BLOCK", "0")),
                     sub_cap=int(os.environ.get("BENCH_SUB_CAP", "1024")),
                     super_factor=int(os.environ.get("BENCH_SF", "2")),
+                    coarse=os.environ.get("BENCH_COARSE", "topk"),
+                    dup=int(os.environ.get("BENCH_DUP", "2")),
                     use_pallas=use_pallas,
                 )
             )(means, cov6, opac, colors)

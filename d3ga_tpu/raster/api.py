@@ -33,6 +33,8 @@ class RasterSettings:
     sub_block: int = 0
     sub_cap: int = 1024
     super_factor: int = 2
+    coarse: str = "topk"  # "topk" | "dupsort"
+    dup: int = 2
 
 
 def rasterize(
@@ -82,6 +84,8 @@ def rasterize(
             sub_block=settings.sub_block,
             sub_cap=settings.sub_cap,
             super_factor=settings.super_factor,
+            coarse=settings.coarse,
+            dup=settings.dup,
             **kwargs,
         )
         return img, aux

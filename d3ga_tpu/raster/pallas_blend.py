@@ -34,6 +34,51 @@ ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
 
+# --- split-precision matmuls -------------------------------------------
+# Mosaic lowers f32 dot_general at DEFAULT precision to ONE bf16 pass
+# (tools/mxu_probe.py) — too coarse for the log-transmittance cumsum.
+# HIGHEST costs 6 passes. Instead: split the inexact operand into bf16
+# hi + residual lo; when the other operand is bf16-exact (0/1 tables,
+# small-int pixel basis) two DEFAULT passes give ~2^-17 relative error,
+# and a 3-pass double split covers the general case.
+
+
+def _split(x):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _dot_split_a(a, b, dims):
+    """a split hi/lo (b must be bf16-exact)."""
+    d = partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    hi, lo = _split(a)
+    return d(hi, b) + d(lo, b)
+
+
+def _dot_split_b(a, b, dims):
+    """b split hi/lo (a must be bf16-exact)."""
+    d = partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    hi, lo = _split(b)
+    return d(a, hi) + d(a, lo)
+
+
+def _dot_split_ab(a, b, dims):
+    """both operands split (3 passes, rel err ~2^-17)."""
+    d = partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    ahi, alo = _split(a)
+    bhi, blo = _split(b)
+    return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
+
+
 def _pixel_basis(dtype=jnp.float32):
     dy, dx = np.meshgrid(np.arange(TILE), np.arange(TILE), indexing="ij")
     dx = dx.reshape(-1).astype(np.float32)
@@ -58,31 +103,26 @@ def _forward_body(coeff_ref, color_ref, opac_ref, basis_ref, tri_ref, out_ref):
     basis = basis_ref[0]
     tri = tri_ref[...]
     for b in range(TILES_PER_BLOCK):  # static unroll
-        power = jax.lax.dot_general(
-            basis, coeff_ref[b],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        # basis entries are integers <= 225 (bf16-exact): split coeffs
+        power = _dot_split_b(
+            basis, coeff_ref[b], (((1,), (1,)), ((), ()))
         )  # [256, K]
         opac = opac_ref[b]  # [1, K]
         alpha = jnp.minimum(ALPHA_MAX, opac * jnp.exp(power))
         use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
         alpha = jnp.where(use, alpha, 0.0)
         lg = jnp.log1p(-alpha)
-        cum = jax.lax.dot_general(
-            lg, tri,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [256, K] inclusive log-transmittance
+        cum = _dot_split_a(
+            lg, tri, (((1,), (0,)), ((), ()))
+        )  # [256, K] inclusive log-transmittance (tri is 0/1-exact)
         t_after = jnp.exp(cum)
         accept = t_after >= T_EPS
         w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
         t_bg = jnp.exp(
             jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
         )
-        rgb = jax.lax.dot_general(
-            w, color_ref[b],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        rgb = _dot_split_ab(
+            w, color_ref[b], (((1,), (0,)), ((), ()))
         )  # [256, C]
         out_ref[b] = jnp.concatenate([rgb, t_bg], axis=-1)
 
@@ -98,18 +138,13 @@ def _backward_body(
         coeffs = coeff_ref[b]
         color = color_ref[b]
         opac = opac_ref[b]
-        power = jax.lax.dot_general(
-            basis, coeffs, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        power = _dot_split_b(basis, coeffs, (((1,), (1,)), ((), ())))
         raw = opac * jnp.exp(power)
         alpha = jnp.minimum(ALPHA_MAX, raw)
         use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
         alpha = jnp.where(use, alpha, 0.0)
         lg = jnp.log1p(-alpha)
-        cum = jax.lax.dot_general(
-            lg, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        cum = _dot_split_a(lg, tri, (((1,), (0,)), ((), ())))
         t_after = jnp.exp(cum)
         accept = t_after >= T_EPS
         t_before = jnp.exp(cum - lg)
@@ -123,13 +158,11 @@ def _backward_body(
         g_tbg = g[:, -1:]                # [256, 1]
 
         # rgb = w @ color
-        dw = jax.lax.dot_general(
-            g_rgb, color, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dw = _dot_split_ab(
+            g_rgb, color, (((1,), (1,)), ((), ()))
         )  # [256, K]
-        dcolor_ref[b] = jax.lax.dot_general(
-            w, g_rgb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dcolor_ref[b] = _dot_split_ab(
+            w, g_rgb, (((0,), (0,)), ((), ()))
         )  # [K, C]
 
         # w = accept * alpha * exp(s), s = cum - lg
@@ -139,10 +172,9 @@ def _backward_body(
         dsum = g_tbg * t_bg                 # [256, 1]
         # dL/dcum = ds ; dL/dlg direct = -ds + accept*dsum
         dcum = ds
-        dlg = jax.lax.dot_general(
-            dcum, tri, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # dcum @ U^T
+        dlg = _dot_split_a(
+            dcum, tri, (((1,), (1,)), ((), ()))
+        )  # dcum @ U^T (tri 0/1-exact)
         dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
         dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
 
@@ -152,10 +184,9 @@ def _backward_body(
         dopac_ref[b] = jnp.sum(
             jnp.where(live, dalpha, 0.0) * jnp.exp(power), axis=0, keepdims=True
         )
-        dcoeff_ref[b] = jax.lax.dot_general(
-            dpower, basis, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [K, 8]
+        dcoeff_ref[b] = _dot_split_a(
+            dpower, basis, (((0,), (0,)), ((), ()))
+        )  # [K, 8] (basis int-exact)
 
 
 def _pad_tiles(x, tb):

@@ -84,6 +84,84 @@ def _refine_lists(parent_ranks, parent_packed, parent_of_child, cx0, cy0, csize,
     return child_ranks, child_packed, counts, overflow
 
 
+def _coarse_block_lists_dupsort(
+    rects, valid_sorted, nbx, nby, block, kb, packed, dup=2,
+):
+    """Block candidate lists via DUPLICATE-SORT-SEGMENT — the TPU-native
+    analog of the CUDA reference's (tile | depth) radix-sort binning
+    (`/root/reference/renderer.py:130-141`, SURVEY.md §3.5), at block
+    granularity with a STATIC duplication factor:
+
+      1. each Gaussian emits dup x dup (block, rank) keys covering the
+         blocks its rect touches (key = block_id << rank_bits | rank —
+         the rank IS the payload, so the sort carries no values),
+      2. ONE flat sort of the [dup*dup*N] int32 keys,
+      3. per-block segments are contiguous: starts via searchsorted of
+         the 48 block boundaries, lists via a [NB, kb] strided gather.
+
+    Replaces the masked top_k over N (the dominant selection cost at
+    Goliath scale) with a single cheap flat sort. Rects spanning more
+    than `dup` blocks on a side are clamped and the dropped (block,
+    Gaussian) pairs are counted in the returned overflow ("no silent
+    caps"). Returns (block_ranks, block_packed, block_counts, overflow),
+    identical contract to `_coarse_block_lists`."""
+    xmin, xmax, ymin, ymax = rects
+    n = xmin.shape[0]
+    n_blocks = nbx * nby
+    rank_bits = max(int(n - 1).bit_length(), 1)
+    assert (n_blocks + 1) << rank_bits < 2**31, (
+        "dup-sort key would overflow int32; use the top_k coarse path"
+    )
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    bxmin = xmin // block
+    bxmax = (xmax - 1) // block          # inclusive; xmax is exclusive
+    bymin = ymin // block
+    bymax = (ymax - 1) // block
+    empty = ~valid_sorted | (xmax <= xmin) | (ymax <= ymin)
+    # clamp spans past the duplication factor (counted below)
+    bxc = jnp.minimum(bxmax, bxmin + (dup - 1))
+    byc = jnp.minimum(bymax, bymin + (dup - 1))
+    clamp_dropped = jnp.sum(
+        jnp.where(
+            empty,
+            0,
+            (bxmax - bxc) * (byc - bymin + 1)
+            + (bymax - byc) * (bxmax - bxmin + 1),
+        )
+    )
+
+    keys = []
+    for dy in range(dup):
+        for dx in range(dup):
+            bx = bxmin + dx
+            by = bymin + dy
+            ok = (~empty) & (bx <= bxc) & (by <= byc) & (bx < nbx) & (by < nby)
+            bid = by * nbx + bx
+            keys.append(
+                jnp.where(ok, (bid << rank_bits) | ranks, (n_blocks << rank_bits))
+            )
+    keys = jnp.sort(jnp.concatenate(keys))        # [dup*dup*N]
+    m = keys.shape[0]
+
+    starts = jnp.searchsorted(
+        keys, jnp.arange(n_blocks + 1, dtype=jnp.int32) << rank_bits
+    ).astype(jnp.int32)                           # [NB+1]
+    block_counts = starts[1:] - starts[:-1]
+    idx = jnp.minimum(starts[:-1, None] + jnp.arange(kb, dtype=jnp.int32)[None], m - 1)
+    seg = keys[idx]                               # [NB, kb] strided gather
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, kb), 1)
+    live = j < jnp.minimum(block_counts, kb)[:, None]
+    block_ranks = jnp.where(
+        live, seg & ((1 << rank_bits) - 1), BIG_RANK
+    )
+    block_packed = jnp.where(
+        live, packed[jnp.where(live, block_ranks, 0)], 0
+    )
+    overflow = jnp.sum(jnp.maximum(block_counts - kb, 0)) + clamp_dropped
+    return block_ranks, block_packed, block_counts, overflow
+
+
 def _coarse_block_lists(
     rects, valid_sorted, ranks, nbx, nby, block, kb, super_factor=2,
     packed=None,
@@ -167,7 +245,7 @@ def _coarse_block_lists(
 def _select_per_tile(
     rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K,
     tile_ids=None, block=8, block_cap=4096, sub_block=0, sub_cap=1024,
-    super_factor=2,
+    super_factor=2, coarse="topk", dup=2,
 ):
     """Funnel tile binning (all inputs in depth-rank order).
 
@@ -207,10 +285,18 @@ def _select_per_tile(
     # Pack the rect into one int32 (tile grids are < 256 on a side).
     packed = xmin | (xmax << 8) | (ymin << 16) | (ymax << 24)
 
-    parent_ranks, parent_packed, _, block_overflow = _coarse_block_lists(
-        (xmin, xmax, ymin, ymax), valid_sorted, ranks,
-        nbx, nby, block, kb, super_factor=super_factor, packed=packed,
-    )
+    if coarse == "dupsort":
+        parent_ranks, parent_packed, _, block_overflow = (
+            _coarse_block_lists_dupsort(
+                (xmin, xmax, ymin, ymax), valid_sorted,
+                nbx, nby, block, kb, packed, dup=dup,
+            )
+        )
+    else:
+        parent_ranks, parent_packed, _, block_overflow = _coarse_block_lists(
+            (xmin, xmax, ymin, ymax), valid_sorted, ranks,
+            nbx, nby, block, kb, super_factor=super_factor, packed=packed,
+        )
     pblock, npx = block, nbx
 
     if sub_block and sub_block < block and sub_cap < kb:
@@ -767,6 +853,8 @@ def rasterize_tiled(
     sub_block: int = 0,
     sub_cap: int = 1024,
     super_factor: int = 2,
+    coarse: str = "topk",
+    dup: int = 2,
     return_alpha: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
@@ -810,7 +898,7 @@ def rasterize_tiled(
     ranks, counts, block_overflow = _select_per_tile(
         rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
         block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
-        super_factor=super_factor,
+        super_factor=super_factor, coarse=coarse, dup=dup,
     )
     sel_valid = ranks < BIG_RANK
     # Clamp padding ranks to 0 for safe gathers (masked out by sel_valid).

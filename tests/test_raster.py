@@ -149,6 +149,9 @@ class TestTiledMatchesOracle:
             dict(super_factor=2, sub_block=4, sub_cap=256),
             dict(super_factor=2, sub_block=2, sub_cap=256),
             dict(block_cap=512, super_factor=2, sub_block=4, sub_cap=256),
+            dict(coarse="dupsort"),
+            dict(coarse="dupsort", dup=3),
+            dict(coarse="dupsort", sub_block=4, sub_cap=256),
         ],
     )
     def test_funnel_variants_match(self, kw):
@@ -176,6 +179,35 @@ class TestTiledMatchesOracle:
         assert int(ref_ov) == 0 and int(ov) == 0
         np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_dupsort_clamp_is_counted(self):
+        # A rect spanning 3 blocks per side exceeds dup=2 coverage: the
+        # dropped (block, gaussian) pairs must be counted, and dup=3
+        # must recover the exact top_k result.
+        from d3ga_tpu.raster.tiles import _select_per_tile
+
+        ntx, nty = 24, 24  # 3x3 blocks of 8 tiles
+        rects = (
+            jnp.array([0, 2], jnp.int32),
+            jnp.array([20, 4], jnp.int32),   # first rect spans 3 blocks in x
+            jnp.array([0, 2], jnp.int32),
+            jnp.array([20, 4], jnp.int32),
+        )
+        valid = jnp.array([True, True])
+        ref, ref_counts, ref_ov = _select_per_tile(
+            rects, valid, ntx, nty, 8, super_factor=1
+        )
+        assert int(ref_ov) == 0
+        out2, _, ov2 = _select_per_tile(
+            rects, valid, ntx, nty, 8, coarse="dupsort", dup=2
+        )
+        assert int(ov2) == 5  # 9 covered blocks, 4 emitted
+        out3, counts3, ov3 = _select_per_tile(
+            rects, valid, ntx, nty, 8, coarse="dupsort", dup=3
+        )
+        assert int(ov3) == 0
+        np.testing.assert_array_equal(np.asarray(out3), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(counts3), np.asarray(ref_counts))
 
     def test_saturated_early_termination(self):
         # Stack many opaque gaussians: T < 1e-4 termination must match.
