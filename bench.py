@@ -105,10 +105,10 @@ def main():
     else:
 
         kb = int(os.environ.get("BENCH_KB", "4096"))
-        sub_block = int(os.environ.get("BENCH_SUB_BLOCK", "0"))
+        sub_block = int(os.environ.get("BENCH_SUB_BLOCK", "4"))
         sub_cap = int(os.environ.get("BENCH_SUB_CAP", "1024"))
-        super_factor = int(os.environ.get("BENCH_SF", "2"))
-        coarse = os.environ.get("BENCH_COARSE", "topk")
+        super_factor = int(os.environ.get("BENCH_SF", "1"))
+        coarse = os.environ.get("BENCH_COARSE", "dupsort")
         dup = int(os.environ.get("BENCH_DUP", "2"))
 
         def loss_fn(means, cov6, opac, colors):
@@ -132,7 +132,7 @@ def main():
     # scan body is unrolled to amortize it — exactly what a production
     # training loop on this transport would do.
     iters = 20
-    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "20"))
 
     def one_step(carry, _):
         means, cov6, opac, colors, _ = carry
@@ -173,10 +173,10 @@ def main():
                     m, camera, bg, cov3d=c, opacities=o, colors=col,
                     max_per_tile=MAX_PER_TILE,
                     block_cap=int(os.environ.get("BENCH_KB", "4096")),
-                    sub_block=int(os.environ.get("BENCH_SUB_BLOCK", "0")),
+                    sub_block=int(os.environ.get("BENCH_SUB_BLOCK", "4")),
                     sub_cap=int(os.environ.get("BENCH_SUB_CAP", "1024")),
-                    super_factor=int(os.environ.get("BENCH_SF", "2")),
-                    coarse=os.environ.get("BENCH_COARSE", "topk"),
+                    super_factor=int(os.environ.get("BENCH_SF", "1")),
+                    coarse=os.environ.get("BENCH_COARSE", "dupsort"),
                     dup=int(os.environ.get("BENCH_DUP", "2")),
                     use_pallas=use_pallas,
                 )

@@ -49,7 +49,7 @@ def rasterize_collective(
     block_cap: int = 4096,
     sub_block: int = 0,
     sub_cap: int = 1024,
-    super_factor: int = 2,
+    super_factor: int = 1,
 ):
     """Rasterize from per-shard Gaussian arrays; returns (image, aux):
     the full [C, H, W] image (replicated within the axis group) and a
@@ -173,7 +173,7 @@ def rasterize_sharded(
     block_cap: int = 4096,
     sub_block: int = 0,
     sub_cap: int = 1024,
-    super_factor: int = 2,
+    super_factor: int = 1,
     axis: str = "model",
 ):
     """Top-level wrapper: shards full Gaussian arrays over `axis`, runs

@@ -32,7 +32,7 @@ class RasterSettings:
     block_cap: int = 4096
     sub_block: int = 0
     sub_cap: int = 1024
-    super_factor: int = 2
+    super_factor: int = 1
     coarse: str = "topk"  # "topk" | "dupsort"
     dup: int = 2
 

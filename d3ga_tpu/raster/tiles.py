@@ -245,7 +245,7 @@ def _coarse_block_lists(
 def _select_per_tile(
     rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K,
     tile_ids=None, block=8, block_cap=4096, sub_block=0, sub_cap=1024,
-    super_factor=2, coarse="topk", dup=2,
+    super_factor=1, coarse="topk", dup=2,
 ):
     """Funnel tile binning (all inputs in depth-rank order).
 
@@ -852,7 +852,7 @@ def rasterize_tiled(
     block_cap: int = 4096,
     sub_block: int = 0,
     sub_cap: int = 1024,
-    super_factor: int = 2,
+    super_factor: int = 1,
     coarse: str = "topk",
     dup: int = 2,
     return_alpha: bool = False,

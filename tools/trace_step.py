@@ -32,6 +32,8 @@ def step(means, cov6, opac, colors):
 
 m, c6, op, co, l = step(means, cov6, opac, colors)
 float(np.asarray(l))
+import shutil
+shutil.rmtree("/tmp/jaxtrace", ignore_errors=True)
 jax.profiler.start_trace("/tmp/jaxtrace")
 for _ in range(3):
     m, c6, op, co, l = step(m, c6, op, co)
@@ -39,7 +41,7 @@ float(np.asarray(l))
 jax.profiler.stop_trace()
 
 # parse the trace
-files = glob.glob("/tmp/jaxtrace/**/*.trace.json.gz", recursive=True)
+files = sorted(glob.glob("/tmp/jaxtrace/**/*.trace.json.gz", recursive=True))
 print("trace files:", files)
 if files:
     with gzip.open(files[-1], "rt") as f:
