@@ -1,0 +1,256 @@
+"""Record-direct fused Pallas blend: ONE gathered record buffer in,
+blended tiles out.
+
+Why: on the axon rig wall-time tracks total materialized HBM bytes
+(PERF_NOTES.md). The original pallas_blend consumed (coeffs, colors,
+opac) prepared by XLA from the gathered records — materializing ~240 MB
+per training step in coeff/slice/layout-copy buffers. This kernel takes
+the raw per-tile record gather [T, K, CR] directly (CR = 6 + C rows:
+x, y, conicA, conicB, conicC, opacity, colors...) and derives the
+quadratic falloff coefficients, the opacity row and the colors
+IN-KERNEL. Invalid (padded) entries are handled with a ZERO SENTINEL
+record row appended by the caller — opacity 0 makes them inert, so no
+validity mask is passed at all.
+
+Math matches `tiles._blend_tiles` exactly (CUDA alpha >= 1/255 skip and
+T < 1e-4 stop, `/root/reference/renderer.py:130-141`); matmuls use bf16
+hi/lo split passes (see pallas_blend.py) since Mosaic DEFAULT is a
+single bf16 pass.
+
+Opacity never needs a [1, K] lane-major row: log(opacity) is folded
+into the quadratic falloff's CONSTANT coefficient, so alpha =
+exp(power + log(op)) comes out of a second basis matmul directly
+(Mosaic lowers thin [K,1]x[K,K] transposes poorly).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from d3ga_tpu.raster.pallas_blend import (
+    _dot_split_a,
+    _dot_split_ab,
+    _dot_split_b,
+    _pixel_basis,
+    _tri,
+)
+
+TILE = 16
+P = TILE * TILE
+ALPHA_SKIP = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+TILES_PER_BLOCK = 4
+
+C_LL = (((1,), (1,)), ((), ()))   # contract last-last
+C_NK = (((1,), (0,)), ((), ()))   # standard matmul
+C_FF = (((0,), (0,)), ((), ()))   # contract first-first
+
+
+def _tile_origin(i, b, ntx):
+    t = i * TILES_PER_BLOCK + b
+    tx = jax.lax.rem(t, ntx)
+    ty = jax.lax.div(t, ntx)
+    return (tx * TILE).astype(jnp.float32), (ty * TILE).astype(jnp.float32)
+
+
+OP_EPS = 1e-12
+
+
+def _coeffs_from_rec(rec, sx, sy):
+    """rec [K, CR] -> (coeffs [K, 8], coeffs2 [K, 8]) in tile-local
+    coords; coeffs2 additionally carries log(opacity) in the constant
+    term, so basis @ coeffs2 = power + log(op) and exp of it is alpha
+    pre-clamp. A zero sentinel record yields log(eps) -> alpha ~ 0."""
+    x = rec[:, 0:1] - sx
+    y = rec[:, 1:2] - sy
+    A = rec[:, 2:3]
+    B = rec[:, 3:4]
+    Cc = rec[:, 4:5]
+    logop = jnp.log(jnp.maximum(rec[:, 5:6], OP_EPS))
+    z = jnp.zeros_like(x)
+    c0 = -0.5 * (A * x * x + Cc * y * y) - B * x * y
+    rest = [
+        A * x + B * y,
+        Cc * y + B * x,
+        -0.5 * A,
+        -0.5 * Cc,
+        -B,
+        z,
+        z,
+    ]
+    coeffs = jnp.concatenate([c0] + rest, axis=1)
+    coeffs2 = jnp.concatenate([c0 + logop] + rest, axis=1)
+    return coeffs, coeffs2
+
+
+def _coeffs_transpose(rec, dcoeffs, sx, sy):
+    """Transpose of _coeffs_from_rec: dcoeffs [K, 8] -> d(x,y,A,B,C) [K, 5]."""
+    x = rec[:, 0:1] - sx
+    y = rec[:, 1:2] - sy
+    A = rec[:, 2:3]
+    B = rec[:, 3:4]
+    Cc = rec[:, 4:5]
+    d0, d1, d2 = dcoeffs[:, 0:1], dcoeffs[:, 1:2], dcoeffs[:, 2:3]
+    d3, d4, d5 = dcoeffs[:, 3:4], dcoeffs[:, 4:5], dcoeffs[:, 5:6]
+    dx = -d0 * (A * x + B * y) + d1 * A + d2 * B
+    dy = -d0 * (Cc * y + B * x) + d1 * B + d2 * Cc
+    dA = -0.5 * d0 * x * x + d1 * x - 0.5 * d3
+    dB = -d0 * x * y + d1 * y + d2 * x - d5
+    dCc = -0.5 * d0 * y * y + d2 * y - 0.5 * d4
+    return jnp.concatenate([dx, dy, dA, dB, dCc], axis=1)
+
+
+def _forward_body(ntx, C, rec_ref, basis_ref, tri_ref, out_ref):
+    basis = basis_ref[0]
+    tri = tri_ref[...]
+    i = pl.program_id(0)
+    for b in range(TILES_PER_BLOCK):
+        rec = rec_ref[b]                                  # [K, CR]
+        sx, sy = _tile_origin(i, b, ntx)
+        coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
+        power = _dot_split_b(basis, coeffs, C_LL)         # [P, K]
+        alpha = jnp.minimum(ALPHA_MAX, jnp.exp(_dot_split_b(basis, coeffs2, C_LL)))
+        use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+        alpha = jnp.where(use, alpha, 0.0)
+        lg = jnp.log1p(-alpha)
+        cum = _dot_split_a(lg, tri, C_NK)                 # [P, K]
+        t_after = jnp.exp(cum)
+        accept = t_after >= T_EPS
+        w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
+        t_bg = jnp.exp(
+            jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+        )
+        rgb = _dot_split_ab(w, rec[:, 6 : 6 + C], C_NK)   # [P, C]
+        out_ref[b] = jnp.concatenate([rgb, t_bg], axis=-1)
+
+
+def _backward_body(ntx, C, rec_ref, basis_ref, tri_ref, g_ref, drec_ref):
+    basis = basis_ref[0]
+    tri = tri_ref[...]
+    i = pl.program_id(0)
+    for b in range(TILES_PER_BLOCK):
+        rec = rec_ref[b]
+        sx, sy = _tile_origin(i, b, ntx)
+        colors = rec[:, 6 : 6 + C]
+        # --- recompute forward ---
+        coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
+        power = _dot_split_b(basis, coeffs, C_LL)
+        raw = jnp.exp(_dot_split_b(basis, coeffs2, C_LL))
+        alpha = jnp.minimum(ALPHA_MAX, raw)
+        use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+        alpha = jnp.where(use, alpha, 0.0)
+        lg = jnp.log1p(-alpha)
+        cum = _dot_split_a(lg, tri, C_NK)
+        t_after = jnp.exp(cum)
+        accept = t_after >= T_EPS
+        t_before = jnp.exp(cum - lg)
+        w = jnp.where(accept, alpha * t_before, 0.0)
+        sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+        t_bg = jnp.exp(sum_lg)
+
+        # --- cotangents ---
+        g = g_ref[b]                                      # [P, C+1]
+        g_rgb = g[:, :C]
+        g_tbg = g[:, C : C + 1]
+        dw = _dot_split_ab(g_rgb, colors, C_LL)           # [P, K]
+        dcolors = _dot_split_ab(w, g_rgb, C_FF)           # [K, C]
+        ds = dw * w
+        dalpha = jnp.where(accept, dw * t_before, 0.0)
+        dsum = g_tbg * t_bg
+        dlg = _dot_split_a(ds, tri, C_LL)                 # ds @ U^T
+        dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
+        dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
+        live = use & (raw < ALPHA_MAX)
+        dalpha = jnp.where(live, dalpha, 0.0)
+        dpower2 = dalpha * raw                            # d/d(power+logop)
+        dcoeffs2 = _dot_split_a(dpower2, basis, C_FF)     # [K, 8]
+        dxyabc = _coeffs_transpose(rec, dcoeffs2, sx, sy)  # [K, 5]
+        op = rec[:, 5:6]
+        dopac = jnp.where(op > 0.0, dcoeffs2[:, 0:1] / jnp.maximum(op, OP_EPS), 0.0)
+        pad = rec.shape[1] - 6 - C
+        parts = [dxyabc, dopac, dcolors]
+        if pad:
+            parts.append(jnp.zeros((dcolors.shape[0], pad), jnp.float32))
+        drec_ref[b] = jnp.concatenate(parts, axis=1)      # [K, CR]
+
+
+def _tables(K):
+    return (_pixel_basis()[None], _tri(K))
+
+
+def _table_specs(K):
+    return [
+        pl.BlockSpec((1, P, 8), lambda i: (0, 0, 0)),
+        pl.BlockSpec((K, K), lambda i: (0, 0)),
+    ]
+
+
+def _pad_tiles(x, tb):
+    pad = (-x.shape[0]) % tb
+    if pad == 0:
+        return x, 0
+    return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), pad
+
+
+def _run_forward(rec, ntx, C, interpret=False):
+    TB = TILES_PER_BLOCK
+    rec, pad = _pad_tiles(rec, TB)
+    T, K, CR = rec.shape
+    out = pl.pallas_call(
+        partial(_forward_body, ntx, C),
+        grid=(T // TB,),
+        in_specs=[pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0))]
+        + _table_specs(K),
+        out_specs=pl.BlockSpec((TB, P, C + 1), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, P, C + 1), jnp.float32),
+        interpret=interpret,
+    )(rec, *_tables(K))
+    return out[: T - pad] if pad else out
+
+
+def _run_backward(rec, g, ntx, C, interpret=False):
+    TB = TILES_PER_BLOCK
+    T0 = rec.shape[0]
+    rec, _ = _pad_tiles(rec, TB)
+    g, _ = _pad_tiles(g, TB)
+    T, K, CR = rec.shape
+    drec = pl.pallas_call(
+        partial(_backward_body, ntx, C),
+        grid=(T // TB,),
+        in_specs=[pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0))]
+        + _table_specs(K)
+        + [pl.BlockSpec((TB, P, C + 1), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, K, CR), jnp.float32),
+        interpret=interpret,
+    )(rec, *_tables(K), g)
+    return drec[:T0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def blend_tiles_rec(rec, ntx, C, interpret=False):
+    """rec: [T, K, CR] per-tile gathered records in depth-rank order
+    (CR = 6 + C: x, y, conicA, conicB, conicC, opacity, colors...; xy in
+    GLOBAL pixel coords — tile origins are derived from the tile index
+    t = row-major over an `ntx`-wide tile grid). Padded entries must be
+    all-zero rows (gather a zero sentinel record). Returns [T, 256, C+1]
+    tiles with T_bg in the last channel (caller composites bg)."""
+    return _run_forward(rec, ntx, C, interpret)
+
+
+def _fwd(rec, ntx, C, interpret):
+    return _run_forward(rec, ntx, C, interpret), (rec,)
+
+
+def _bwd(ntx, C, interpret, res, g):
+    (rec,) = res
+    return (_run_backward(rec, g, ntx, C, interpret),)
+
+
+blend_tiles_rec.defvjp(_fwd, _bwd)

@@ -162,6 +162,67 @@ def _coarse_block_lists_dupsort(
     return block_ranks, block_packed, block_counts, overflow
 
 
+def _select_per_tile_dupsort(rects, valid_sorted, n_tiles_x, n_tiles_y, K, dup=4):
+    """Per-TILE selection in ONE duplicate-sort-segment pass — no block
+    funnel at all. Each Gaussian emits dup x dup (tile | rank) int32
+    keys covering its tile rect; one flat sort; per-tile segments via
+    searchsorted + strided gather. This is the closest TPU analog of the
+    CUDA reference's (tile | depth) radix sort + per-tile ranges
+    (`/root/reference/renderer.py:130-141`): total key count ~ the
+    CUDA duplication count, but static (dup^2 per Gaussian, spans past
+    `dup` tiles clamped and counted).
+
+    Returns (ranks [T, K] BIG_RANK-padded, counts [T], overflow []) —
+    same contract as `_select_per_tile`."""
+    xmin, xmax, ymin, ymax = rects
+    n = xmin.shape[0]
+    T = n_tiles_x * n_tiles_y
+    rank_bits = max(int(n - 1).bit_length(), 1)
+    assert (T + 1) << rank_bits < 2**31, (
+        "tile dup-sort key would overflow int32; use the funnel path"
+    )
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    empty = ~valid_sorted | (xmax <= xmin) | (ymax <= ymin)
+    xc = jnp.minimum(xmax - 1, xmin + (dup - 1))
+    yc = jnp.minimum(ymax - 1, ymin + (dup - 1))
+    clamp_dropped = jnp.sum(
+        jnp.where(
+            empty,
+            0,
+            (xmax - 1 - xc) * (yc - ymin + 1)
+            + (ymax - 1 - yc) * (xmax - xmin),
+        )
+    )
+
+    keys = []
+    for dy in range(dup):
+        for dx in range(dup):
+            tx = xmin + dx
+            ty = ymin + dy
+            ok = (~empty) & (tx <= xc) & (ty <= yc)
+            tid = ty * n_tiles_x + tx
+            keys.append(
+                jnp.where(ok, (tid << rank_bits) | ranks, (T << rank_bits))
+            )
+    keys = jnp.sort(jnp.concatenate(keys))
+    m = keys.shape[0]
+
+    starts = jnp.searchsorted(
+        keys, jnp.arange(T + 1, dtype=jnp.int32) << rank_bits
+    ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    kk = min(K, m)
+    idx = jnp.minimum(starts[:-1, None] + jnp.arange(kk, dtype=jnp.int32)[None], m - 1)
+    seg = keys[idx]
+    j = jax.lax.broadcasted_iota(jnp.int32, (T, kk), 1)
+    live = j < jnp.minimum(counts, kk)[:, None]
+    out = jnp.where(live, seg & ((1 << rank_bits) - 1), BIG_RANK)
+    if K > kk:
+        out = jnp.pad(out, ((0, 0), (0, K - kk)), constant_values=BIG_RANK)
+    return out, counts, clamp_dropped
+
+
 def _coarse_block_lists(
     rects, valid_sorted, ranks, nbx, nby, block, kb, super_factor=2,
     packed=None,
@@ -280,6 +341,15 @@ def _select_per_tile(
     nbx = -(-n_tiles_x // block)
     nby = -(-n_tiles_y // block)
     kb = min(block_cap, n)
+
+    if coarse == "dupsort_tile":
+        out, counts, overflow = _select_per_tile_dupsort(
+            rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K, dup=dup
+        )
+        if tile_ids is not None:
+            out = out[tile_ids]
+            counts = counts[tile_ids]
+        return out, counts, overflow
 
     ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     # Pack the rect into one int32 (tile grids are < 256 on a side).
@@ -901,28 +971,34 @@ def rasterize_tiled(
         super_factor=super_factor, coarse=coarse, dup=dup,
     )
     sel_valid = ranks < BIG_RANK
-    # Clamp padding ranks to 0 for safe gathers (masked out by sel_valid).
-    safe_ranks = jnp.where(sel_valid, ranks, 0)
-
-    rec_t = records[safe_ranks]  # [T, K, 6+C]
-    xy_t = rec_t[..., 0:2]
-    conic_t = rec_t[..., 2:5]
-    opac_t = rec_t[..., 5]
-    color_t = rec_t[..., 6:]
-
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_origin = jnp.stack([(tids % n_tiles_x) * TILE, (tids // n_tiles_x) * TILE], -1)
 
     if use_pallas:
-        from d3ga_tpu.raster.pallas_blend import blend_tiles_pallas, falloff_coeffs
+        # Record-direct fused blend: ONE gather feeds the kernel (raw
+        # records, global xy); invalid entries gather a zero sentinel
+        # row (opacity 0 -> inert), so no mask/coeff/slice buffers are
+        # materialized — the dominant HBM-byte cost on this rig.
+        from d3ga_tpu.raster.pallas_blend_rec import blend_tiles_rec
 
-        xy_local = xy_t - tile_origin[:, None, :].astype(xy_t.dtype)
-        coeffs = falloff_coeffs(xy_local, conic_t)
-        opac_in = jnp.where(sel_valid, opac_t, 0.0)[:, None, :]  # [T, 1, K]
-        out = blend_tiles_pallas(coeffs, color_t, opac_in, pallas_interpret)
+        records_ext = jnp.concatenate(
+            [records, jnp.zeros((1, records.shape[1]), records.dtype)], axis=0
+        )
+        idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
+        rec_t = records_ext[idx]  # [T, K, 6+C]
+        out = blend_tiles_rec(rec_t, n_tiles_x, C, pallas_interpret)
         rgb = out[..., :-1] + out[..., -1:] * bg_color
         tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
     else:
+        safe_ranks = jnp.where(sel_valid, ranks, 0)
+        rec_t = records[safe_ranks]  # [T, K, 6+C]
+        xy_t = rec_t[..., 0:2]
+        conic_t = rec_t[..., 2:5]
+        opac_t = rec_t[..., 5]
+        color_t = rec_t[..., 6:]
+
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
+        tile_origin = jnp.stack(
+            [(tids % n_tiles_x) * TILE, (tids // n_tiles_x) * TILE], -1
+        )
         tiles = _blend_tiles(
             xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, tile_origin
         )  # [T, 256, C+1]

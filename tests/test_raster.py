@@ -152,6 +152,8 @@ class TestTiledMatchesOracle:
             dict(coarse="dupsort"),
             dict(coarse="dupsort", dup=3),
             dict(coarse="dupsort", sub_block=4, sub_cap=256),
+            dict(coarse="dupsort_tile"),
+            dict(coarse="dupsort_tile", dup=2),
         ],
     )
     def test_funnel_variants_match(self, kw):
