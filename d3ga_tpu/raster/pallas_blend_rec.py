@@ -23,6 +23,7 @@ exp(power + log(op)) comes out of a second basis matmul directly
 (Mosaic lowers thin [K,1]x[K,K] transposes poorly).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -45,7 +46,9 @@ ALPHA_SKIP = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
-TILES_PER_BLOCK = 4
+# tiles per grid program: fewer programs amortize per-program pipeline
+# overhead (~us each through the axon runtime); env-tunable for sweeps.
+TILES_PER_BLOCK = int(os.environ.get("D3GA_TPB", "8"))
 
 C_LL = (((1,), (1,)), ((), ()))   # contract last-last
 C_NK = (((1,), (0,)), ((), ()))   # standard matmul

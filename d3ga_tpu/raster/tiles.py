@@ -223,6 +223,82 @@ def _select_per_tile_dupsort(rects, valid_sorted, n_tiles_x, n_tiles_y, K, dup=4
     return out, counts, clamp_dropped
 
 
+def _select_per_tile_depthkey(rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=4):
+    """Per-tile selection via lexicographic (tile|depth, index) keys —
+    the full CUDA pipeline analog (`/root/reference/renderer.py:130-141`:
+    duplicated (tile|depth) radix-sort keys + per-tile ranges) with NO
+    separate depth argsort and NO record reordering:
+
+      hi = tile_id << depth_bits | depth_q        (int32)
+      lo = gaussian index                          (int32 payload/tiebreak)
+
+    depth_q is the top `depth_bits` of the f32 depth bit pattern
+    (order-preserving for positive floats); one two-key `lax.sort`
+    yields every tile's candidates front-to-back with the ORIGINAL
+    Gaussian index alongside. Ties within a depth quantum break by
+    index (deterministic; matches the stable sorted-rank pipeline
+    whenever depths are distinct at depth_bits). Spans past `dup` tiles
+    are clamped and counted.
+
+    Inputs are in ORIGINAL (unsorted) Gaussian order. Returns
+    (idx [T, K] int32 original indices with -1 padding, counts [T],
+    overflow [])."""
+    xmin, xmax, ymin, ymax = rects
+    n = xmin.shape[0]
+    T = n_tiles_x * n_tiles_y
+    depth_bits = min(22, 31 - int(T + 1).bit_length())
+    assert depth_bits >= 8, "tile grid too large for int32 depth keys"
+
+    empty = ~valid | (xmax <= xmin) | (ymax <= ymin)
+    xc = jnp.minimum(xmax - 1, xmin + (dup - 1))
+    yc = jnp.minimum(ymax - 1, ymin + (dup - 1))
+    clamp_dropped = jnp.sum(
+        jnp.where(
+            empty,
+            0,
+            (xmax - 1 - xc) * (yc - ymin + 1)
+            + (ymax - 1 - yc) * (xmax - xmin),
+        )
+    )
+
+    # order-preserving depth quantization (depth > 0 after culling)
+    dq = (
+        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+        >> (31 - depth_bits)
+    ) & ((1 << depth_bits) - 1)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    sentinel = jnp.int32(T << depth_bits)
+
+    his = []
+    los = []
+    for dy in range(dup):
+        for dx in range(dup):
+            tx = xmin + dx
+            ty = ymin + dy
+            ok = (~empty) & (tx <= xc) & (ty <= yc)
+            tid = ty * n_tiles_x + tx
+            his.append(jnp.where(ok, (tid << depth_bits) | dq, sentinel))
+            los.append(gidx)
+    hi_s, lo_s = jax.lax.sort(
+        (jnp.concatenate(his), jnp.concatenate(los)), num_keys=2
+    )
+    m = hi_s.shape[0]
+
+    starts = jnp.searchsorted(
+        hi_s, jnp.arange(T + 1, dtype=jnp.int32) << depth_bits
+    ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    kk = min(K, m)
+    idx2 = jnp.minimum(starts[:-1, None] + jnp.arange(kk, dtype=jnp.int32)[None], m - 1)
+    seg = lo_s[idx2]
+    j = jax.lax.broadcasted_iota(jnp.int32, (T, kk), 1)
+    live = j < jnp.minimum(counts, kk)[:, None]
+    out = jnp.where(live, seg, jnp.int32(-1))
+    if K > kk:
+        out = jnp.pad(out, ((0, 0), (0, K - kk)), constant_values=-1)
+    return out, counts, clamp_dropped
+
+
 def _coarse_block_lists(
     rects, valid_sorted, ranks, nbx, nby, block, kb, super_factor=2,
     packed=None,
@@ -950,27 +1026,39 @@ def rasterize_tiled(
     )
     valid = proj.valid & (proj.radius > 0)
 
-    sort_depth = jnp.where(valid, proj.depth, jnp.inf)
-    order = jnp.argsort(sort_depth, stable=True)  # rank -> gaussian id
-
-    # Depth-sorted records, PACKED into one [N, 6+C] row array so the
-    # per-tile gather (and its scatter-add transpose in the backward) is
-    # a single contiguous row copy instead of 4 strided ones.
+    # Records PACKED into one [N, 6+C] row array so the per-tile gather
+    # (and its scatter-add transpose in the backward) is a single
+    # contiguous row copy instead of 4 strided ones.
     C = proj.color.shape[-1]
     records = jnp.concatenate(
         [proj.xy, proj.conic, proj.opacity[:, None], proj.color], axis=-1
-    )[order]
-    radius_s = proj.radius[order]
-    valid_s = valid[order]
-    xy_s = records[:, 0:2]
-
-    rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
-    ranks, counts, block_overflow = _select_per_tile(
-        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
-        block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
-        super_factor=super_factor, coarse=coarse, dup=dup,
     )
-    sel_valid = ranks < BIG_RANK
+
+    if coarse == "dupsort_depth":
+        # (tile | depth | index) key sort: no global depth argsort and
+        # no record reordering at all — per-tile lists come out
+        # front-to-back holding ORIGINAL Gaussian indices.
+        rects = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
+        ranks, counts, block_overflow = _select_per_tile_depthkey(
+            rects, valid, proj.depth, n_tiles_x, n_tiles_y, max_per_tile,
+            dup=dup,
+        )
+        sel_valid = ranks >= 0
+    else:
+        sort_depth = jnp.where(valid, proj.depth, jnp.inf)
+        order = jnp.argsort(sort_depth, stable=True)  # rank -> gaussian id
+        records = records[order]
+        radius_s = proj.radius[order]
+        valid_s = valid[order]
+        xy_s = records[:, 0:2]
+
+        rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
+        ranks, counts, block_overflow = _select_per_tile(
+            rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
+            block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
+            super_factor=super_factor, coarse=coarse, dup=dup,
+        )
+        sel_valid = ranks < BIG_RANK
 
     if use_pallas:
         # Record-direct fused blend: ONE gather feeds the kernel (raw

@@ -182,6 +182,45 @@ class TestTiledMatchesOracle:
         np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_depthkey_matches_sorted_pipeline(self):
+        # (tile|depth|index) key selection must reproduce the sorted-
+        # rank pipeline exactly when depths are distinct at 22 bits.
+        cam = simple_camera(w=160, h=112)
+        key = jax.random.PRNGKey(11)
+        means, scales, rots, opac, colors = random_scene(key, n=300)
+        # moderate extents so dup=8 covers every rect span
+        scales = jnp.exp(
+            jax.random.uniform(jax.random.PRNGKey(12), (300, 3), minval=-4.6, maxval=-3.6)
+        )
+        means = means.at[:, 2].set(4.0 + jnp.arange(300) * 3e-3)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        kw = dict(
+            scales=scales, rotations=rots, opacities=opac, colors=colors,
+            max_per_tile=256,
+        )
+        ref, raux = rasterize_tiled(means, cam, bg, **kw)
+        assert int(raux.overflow) == 0
+        # dup large enough for every rect span: exact match
+        img, aux = rasterize_tiled(
+            means, cam, bg, coarse="dupsort_depth", dup=8, **kw
+        )
+        assert int(aux.overflow) == 0
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+        # undersized dup must COUNT its clamp drops, never drop silently
+        big = means.at[0].set(jnp.array([0.0, 0.0, 4.0]))
+        bscales = scales.at[0].set(0.3)
+        _, aux2 = rasterize_tiled(
+            big, cam, bg, scales=bscales, rotations=rots, opacities=opac,
+            colors=colors, max_per_tile=256, coarse="dupsort_depth", dup=2,
+        )
+        assert int(aux2.overflow) > 0
+        # pallas record path agrees too
+        img_p, _ = rasterize_tiled(
+            means, cam, bg, coarse="dupsort_depth", dup=8,
+            use_pallas=True, pallas_interpret=True, **kw
+        )
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(ref), atol=2e-5)
+
     def test_dupsort_clamp_is_counted(self):
         # A rect spanning 3 blocks per side exceeds dup=2 coverage: the
         # dropped (block, gaussian) pairs must be counted, and dup=3

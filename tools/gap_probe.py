@@ -40,7 +40,8 @@ ntx, nty = -(-W // TILE), -(-H // TILE)
 
 KW = dict(
     block_cap=4096, sub_block=4, sub_cap=1024, super_factor=1,
-    coarse="dupsort", dup=2,
+    coarse=os.environ.get("BENCH_COARSE", "dupsort_depth"),
+    dup=int(os.environ.get("BENCH_DUP", "4")),
 )
 
 
@@ -94,17 +95,31 @@ valid_s = valid[order]
 rects = tile_rect(records[:, 0:2], radius_s, TILE, ntx, nty)
 
 
-# 3. selection only (dupsort + sub + fine)
+# 3. selection only
+from d3ga_tpu.raster.tiles import _select_per_tile_depthkey
+
+if KW["coarse"] == "dupsort_depth":
+    def sel(rects, valid_s):
+        return _select_per_tile_depthkey(
+            rects, valid_s, p.depth, ntx, nty, MAX_PER_TILE, dup=KW["dup"]
+        )
+    PAD = -1
+else:
+    def sel(rects, valid_s):
+        return _select_per_tile(rects, valid_s, ntx, nty, MAX_PER_TILE, **KW)
+    PAD = None
+
+
 def f_sel(rects, valid_s, s):
     r = tuple(x + (s > 1e30).astype(x.dtype) for x in rects)
-    ranks, counts, ov = _select_per_tile(r, valid_s, ntx, nty, MAX_PER_TILE, **KW)
+    ranks, counts, ov = sel(r, valid_s)
     return jnp.sum(counts).astype(jnp.float32) * 1e-30
 
 
-chain("selection (dupsort+sub+fine)", f_sel, rects, valid_s)
+chain("selection", f_sel, rects, valid_s)
 
-ranks, counts, _ = _select_per_tile(rects, valid_s, ntx, nty, MAX_PER_TILE, **KW)
-sel_valid = ranks < BIG_RANK
+ranks, counts, _ = sel(rects, valid_s)
+sel_valid = (ranks >= 0) if PAD == -1 else (ranks < BIG_RANK)
 records_ext = jnp.concatenate([records, jnp.zeros((1, records.shape[1]))], 0)
 idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
 
