@@ -108,8 +108,8 @@ def main():
         sub_block = int(os.environ.get("BENCH_SUB_BLOCK", "4"))
         sub_cap = int(os.environ.get("BENCH_SUB_CAP", "1024"))
         super_factor = int(os.environ.get("BENCH_SF", "1"))
-        coarse = os.environ.get("BENCH_COARSE", "dupsort")
-        dup = int(os.environ.get("BENCH_DUP", "2"))
+        coarse = os.environ.get("BENCH_COARSE", "dupsort_tile")
+        dup = int(os.environ.get("BENCH_DUP", "4"))
 
         def loss_fn(means, cov6, opac, colors):
             img, _ = rasterize_tiled(
@@ -176,8 +176,8 @@ def main():
                     sub_block=int(os.environ.get("BENCH_SUB_BLOCK", "4")),
                     sub_cap=int(os.environ.get("BENCH_SUB_CAP", "1024")),
                     super_factor=int(os.environ.get("BENCH_SF", "1")),
-                    coarse=os.environ.get("BENCH_COARSE", "dupsort"),
-                    dup=int(os.environ.get("BENCH_DUP", "2")),
+                    coarse=os.environ.get("BENCH_COARSE", "dupsort_tile"),
+                    dup=int(os.environ.get("BENCH_DUP", "4")),
                     use_pallas=use_pallas,
                 )
             )(means, cov6, opac, colors)

@@ -48,7 +48,7 @@ T_EPS = 1e-4
 
 # tiles per grid program: fewer programs amortize per-program pipeline
 # overhead (~us each through the axon runtime); env-tunable for sweeps.
-TILES_PER_BLOCK = int(os.environ.get("D3GA_TPB", "8"))
+TILES_PER_BLOCK = int(os.environ.get("D3GA_TPB", "4"))
 
 C_LL = (((1,), (1,)), ((), ()))   # contract last-last
 C_NK = (((1,), (0,)), ((), ()))   # standard matmul
@@ -109,78 +109,97 @@ def _coeffs_transpose(rec, dcoeffs, sx, sy):
     return jnp.concatenate([dx, dy, dA, dB, dCc], axis=1)
 
 
-def _forward_body(ntx, C, rec_ref, basis_ref, tri_ref, out_ref):
+def _forward_body(ntx, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
     basis = basis_ref[0]
     tri = tri_ref[...]
     i = pl.program_id(0)
     for b in range(TILES_PER_BLOCK):
-        rec = rec_ref[b]                                  # [K, CR]
-        sx, sy = _tile_origin(i, b, ntx)
-        coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
-        power = _dot_split_b(basis, coeffs, C_LL)         # [P, K]
-        alpha = jnp.minimum(ALPHA_MAX, jnp.exp(_dot_split_b(basis, coeffs2, C_LL)))
-        use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
-        alpha = jnp.where(use, alpha, 0.0)
-        lg = jnp.log1p(-alpha)
-        cum = _dot_split_a(lg, tri, C_NK)                 # [P, K]
-        t_after = jnp.exp(cum)
-        accept = t_after >= T_EPS
-        w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
-        t_bg = jnp.exp(
-            jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
-        )
-        rgb = _dot_split_ab(w, rec[:, 6 : 6 + C], C_NK)   # [P, C]
-        out_ref[b] = jnp.concatenate([rgb, t_bg], axis=-1)
+        # Empty tiles (typically ~40% of a human capture frame) skip the
+        # whole blend: background transmittance 1, colors 0.
+        @pl.when(cnt_ref[i, b] == 0)
+        def _():
+            out_ref[b] = jnp.concatenate(
+                [jnp.zeros((P, C), jnp.float32), jnp.ones((P, 1), jnp.float32)],
+                axis=1,
+            )
+
+        @pl.when(cnt_ref[i, b] != 0)
+        def _():
+            rec = rec_ref[b]                                  # [K, CR]
+            sx, sy = _tile_origin(i, b, ntx)
+            coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
+            power = _dot_split_b(basis, coeffs, C_LL)         # [P, K]
+            alpha = jnp.minimum(ALPHA_MAX, jnp.exp(_dot_split_b(basis, coeffs2, C_LL)))
+            use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+            alpha = jnp.where(use, alpha, 0.0)
+            lg = jnp.log1p(-alpha)
+            cum = _dot_split_a(lg, tri, C_NK)                 # [P, K]
+            t_after = jnp.exp(cum)
+            accept = t_after >= T_EPS
+            w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
+            t_bg = jnp.exp(
+                jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+            )
+            rgb = _dot_split_ab(w, rec[:, 6 : 6 + C], C_NK)   # [P, C]
+            out_ref[b] = jnp.concatenate([rgb, t_bg], axis=-1)
 
 
-def _backward_body(ntx, C, rec_ref, basis_ref, tri_ref, g_ref, drec_ref):
+def _backward_body(ntx, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref):
     basis = basis_ref[0]
     tri = tri_ref[...]
     i = pl.program_id(0)
     for b in range(TILES_PER_BLOCK):
-        rec = rec_ref[b]
-        sx, sy = _tile_origin(i, b, ntx)
-        colors = rec[:, 6 : 6 + C]
-        # --- recompute forward ---
-        coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
-        power = _dot_split_b(basis, coeffs, C_LL)
-        raw = jnp.exp(_dot_split_b(basis, coeffs2, C_LL))
-        alpha = jnp.minimum(ALPHA_MAX, raw)
-        use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
-        alpha = jnp.where(use, alpha, 0.0)
-        lg = jnp.log1p(-alpha)
-        cum = _dot_split_a(lg, tri, C_NK)
-        t_after = jnp.exp(cum)
-        accept = t_after >= T_EPS
-        t_before = jnp.exp(cum - lg)
-        w = jnp.where(accept, alpha * t_before, 0.0)
-        sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
-        t_bg = jnp.exp(sum_lg)
+        @pl.when(cnt_ref[i, b] == 0)
+        def _():
+            drec_ref[b] = jnp.zeros_like(drec_ref[b])
 
-        # --- cotangents ---
-        g = g_ref[b]                                      # [P, C+1]
-        g_rgb = g[:, :C]
-        g_tbg = g[:, C : C + 1]
-        dw = _dot_split_ab(g_rgb, colors, C_LL)           # [P, K]
-        dcolors = _dot_split_ab(w, g_rgb, C_FF)           # [K, C]
-        ds = dw * w
-        dalpha = jnp.where(accept, dw * t_before, 0.0)
-        dsum = g_tbg * t_bg
-        dlg = _dot_split_a(ds, tri, C_LL)                 # ds @ U^T
-        dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
-        dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
-        live = use & (raw < ALPHA_MAX)
-        dalpha = jnp.where(live, dalpha, 0.0)
-        dpower2 = dalpha * raw                            # d/d(power+logop)
-        dcoeffs2 = _dot_split_a(dpower2, basis, C_FF)     # [K, 8]
-        dxyabc = _coeffs_transpose(rec, dcoeffs2, sx, sy)  # [K, 5]
-        op = rec[:, 5:6]
-        dopac = jnp.where(op > 0.0, dcoeffs2[:, 0:1] / jnp.maximum(op, OP_EPS), 0.0)
-        pad = rec.shape[1] - 6 - C
-        parts = [dxyabc, dopac, dcolors]
-        if pad:
-            parts.append(jnp.zeros((dcolors.shape[0], pad), jnp.float32))
-        drec_ref[b] = jnp.concatenate(parts, axis=1)      # [K, CR]
+        @pl.when(cnt_ref[i, b] != 0)
+        def _():
+            rec = rec_ref[b]
+            sx, sy = _tile_origin(i, b, ntx)
+            colors = rec[:, 6 : 6 + C]
+            # --- recompute forward ---
+            coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
+            power = _dot_split_b(basis, coeffs, C_LL)
+            raw = jnp.exp(_dot_split_b(basis, coeffs2, C_LL))
+            alpha = jnp.minimum(ALPHA_MAX, raw)
+            use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+            alpha = jnp.where(use, alpha, 0.0)
+            lg = jnp.log1p(-alpha)
+            cum = _dot_split_a(lg, tri, C_NK)
+            t_after = jnp.exp(cum)
+            accept = t_after >= T_EPS
+            t_before = jnp.exp(cum - lg)
+            w = jnp.where(accept, alpha * t_before, 0.0)
+            sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+            t_bg = jnp.exp(sum_lg)
+
+            # --- cotangents ---
+            g = g_ref[b]                                  # [P, C+1]
+            g_rgb = g[:, :C]
+            g_tbg = g[:, C : C + 1]
+            dw = _dot_split_ab(g_rgb, colors, C_LL)       # [P, K]
+            dcolors = _dot_split_ab(w, g_rgb, C_FF)       # [K, C]
+            ds = dw * w
+            dalpha = jnp.where(accept, dw * t_before, 0.0)
+            dsum = g_tbg * t_bg
+            dlg = _dot_split_a(ds, tri, C_LL)             # ds @ U^T
+            dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
+            dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
+            live = use & (raw < ALPHA_MAX)
+            dalpha = jnp.where(live, dalpha, 0.0)
+            dpower2 = dalpha * raw                        # d/d(power+logop)
+            dcoeffs2 = _dot_split_a(dpower2, basis, C_FF)  # [K, 8]
+            dxyabc = _coeffs_transpose(rec, dcoeffs2, sx, sy)  # [K, 5]
+            op = rec[:, 5:6]
+            dopac = jnp.where(
+                op > 0.0, dcoeffs2[:, 0:1] / jnp.maximum(op, OP_EPS), 0.0
+            )
+            pad = rec.shape[1] - 6 - C
+            parts = [dxyabc, dopac, dcolors]
+            if pad:
+                parts.append(jnp.zeros((dcolors.shape[0], pad), jnp.float32))
+            drec_ref[b] = jnp.concatenate(parts, axis=1)  # [K, CR]
 
 
 def _tables(K):
@@ -201,59 +220,69 @@ def _pad_tiles(x, tb):
     return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), pad
 
 
-def _run_forward(rec, ntx, C, interpret=False):
+def _run_forward(rec, counts, ntx, C, interpret=False):
     TB = TILES_PER_BLOCK
     rec, pad = _pad_tiles(rec, TB)
+    counts, _ = _pad_tiles(counts, TB)   # padded tiles count 0 -> skipped
     T, K, CR = rec.shape
+    counts2 = counts.reshape(T // TB, TB)
     out = pl.pallas_call(
         partial(_forward_body, ntx, C),
         grid=(T // TB,),
-        in_specs=[pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0))]
+        in_specs=[
+            pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0)),
+            pl.BlockSpec((T // TB, TB), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
         + _table_specs(K),
         out_specs=pl.BlockSpec((TB, P, C + 1), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, P, C + 1), jnp.float32),
         interpret=interpret,
-    )(rec, *_tables(K))
+    )(rec, counts2, *_tables(K))
     return out[: T - pad] if pad else out
 
 
-def _run_backward(rec, g, ntx, C, interpret=False):
+def _run_backward(rec, counts, g, ntx, C, interpret=False):
     TB = TILES_PER_BLOCK
     T0 = rec.shape[0]
     rec, _ = _pad_tiles(rec, TB)
+    counts, _ = _pad_tiles(counts, TB)
     g, _ = _pad_tiles(g, TB)
     T, K, CR = rec.shape
+    counts2 = counts.reshape(T // TB, TB)
     drec = pl.pallas_call(
         partial(_backward_body, ntx, C),
         grid=(T // TB,),
-        in_specs=[pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0))]
+        in_specs=[
+            pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0)),
+            pl.BlockSpec((T // TB, TB), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
         + _table_specs(K)
         + [pl.BlockSpec((TB, P, C + 1), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, K, CR), jnp.float32),
         interpret=interpret,
-    )(rec, *_tables(K), g)
+    )(rec, counts2, *_tables(K), g)
     return drec[:T0]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def blend_tiles_rec(rec, ntx, C, interpret=False):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def blend_tiles_rec(rec, counts, ntx, C, interpret=False):
     """rec: [T, K, CR] per-tile gathered records in depth-rank order
     (CR = 6 + C: x, y, conicA, conicB, conicC, opacity, colors...; xy in
     GLOBAL pixel coords — tile origins are derived from the tile index
     t = row-major over an `ntx`-wide tile grid). Padded entries must be
     all-zero rows (gather a zero sentinel record). Returns [T, 256, C+1]
     tiles with T_bg in the last channel (caller composites bg)."""
-    return _run_forward(rec, ntx, C, interpret)
+    return _run_forward(rec, counts, ntx, C, interpret)
 
 
-def _fwd(rec, ntx, C, interpret):
-    return _run_forward(rec, ntx, C, interpret), (rec,)
+def _fwd(rec, counts, ntx, C, interpret):
+    return _run_forward(rec, counts, ntx, C, interpret), (rec, counts)
 
 
 def _bwd(ntx, C, interpret, res, g):
-    (rec,) = res
-    return (_run_backward(rec, g, ntx, C, interpret),)
+    rec, counts = res
+    return (_run_backward(rec, counts, g, ntx, C, interpret), None)
 
 
 blend_tiles_rec.defvjp(_fwd, _bwd)

@@ -145,7 +145,8 @@ def _coarse_block_lists_dupsort(
     m = keys.shape[0]
 
     starts = jnp.searchsorted(
-        keys, jnp.arange(n_blocks + 1, dtype=jnp.int32) << rank_bits
+        keys, jnp.arange(n_blocks + 1, dtype=jnp.int32) << rank_bits,
+        method="scan_unrolled",
     ).astype(jnp.int32)                           # [NB+1]
     block_counts = starts[1:] - starts[:-1]
     idx = jnp.minimum(starts[:-1, None] + jnp.arange(kb, dtype=jnp.int32)[None], m - 1)
@@ -209,7 +210,8 @@ def _select_per_tile_dupsort(rects, valid_sorted, n_tiles_x, n_tiles_y, K, dup=4
     m = keys.shape[0]
 
     starts = jnp.searchsorted(
-        keys, jnp.arange(T + 1, dtype=jnp.int32) << rank_bits
+        keys, jnp.arange(T + 1, dtype=jnp.int32) << rank_bits,
+        method="scan_unrolled",
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     kk = min(K, m)
@@ -285,7 +287,8 @@ def _select_per_tile_depthkey(rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=
     m = hi_s.shape[0]
 
     starts = jnp.searchsorted(
-        hi_s, jnp.arange(T + 1, dtype=jnp.int32) << depth_bits
+        hi_s, jnp.arange(T + 1, dtype=jnp.int32) << depth_bits,
+        method="scan_unrolled",
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     kk = min(K, m)
@@ -1072,7 +1075,10 @@ def rasterize_tiled(
         )
         idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
         rec_t = records_ext[idx]  # [T, K, 6+C]
-        out = blend_tiles_rec(rec_t, n_tiles_x, C, pallas_interpret)
+        out = blend_tiles_rec(
+            rec_t, jnp.minimum(counts, max_per_tile), n_tiles_x, C,
+            pallas_interpret,
+        )
         rgb = out[..., :-1] + out[..., -1:] * bg_color
         tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
     else:

@@ -67,14 +67,18 @@ def render_frame(
     cfg = model.config
     if rasterize_fn is None:
         backend = cfg.get("raster_backend", "xla")
+        # selection-funnel knobs (coarse/dup/sub_block/... — see
+        # tiles._select_per_tile); e.g. raster_opts: {coarse: dupsort_tile,
+        # dup: 4} enables the fastest measured Goliath-scale config.
+        opts = dict(cfg.get("raster_opts", {}))
         if backend == "fused":
             from d3ga_tpu.raster.tiles import rasterize_tiled_fused
 
             rasterize_fn = rasterize_tiled_fused
         elif backend == "pallas_blend":
-            rasterize_fn = partial(rasterize_tiled, use_pallas=True)
+            rasterize_fn = partial(rasterize_tiled, use_pallas=True, **opts)
         else:
-            rasterize_fn = rasterize_tiled
+            rasterize_fn = partial(rasterize_tiled, **opts) if opts else rasterize_tiled
     batch = dict(batch, iteration=iteration)
     # In-graph camera rebuild from optimizable per-frame Rh/Th (no-op
     # unless the params + batch["cam_rt"] are present).

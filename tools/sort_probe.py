@@ -100,6 +100,44 @@ chain(
     g688,
     idx688,
 )
+idx_sorted = jnp.sort(idx688.reshape(-1)).reshape(2688, 256)
+g_flat = g688.reshape(-1, 9)
+chain(
+    "scatter-add SORTED idx [688k->135k,9]",
+    lambda g, i, s: jnp.sum(
+        jnp.zeros((135_001, 9))
+        .at[i.reshape(-1) + (s > 1e30).astype(jnp.int32)]
+        .add(g.reshape(-1, 9), indices_are_sorted=True)
+    )
+    * 1e-30,
+    g688,
+    idx_sorted,
+)
+chain(
+    "scatter-add bf16 [688k->135k,9]",
+    lambda g, i, s: jnp.sum(
+        jnp.zeros((135_001, 9), jnp.bfloat16)
+        .at[i + (s > 1e30).astype(jnp.int32)]
+        .add(g.astype(jnp.bfloat16))
+    ).astype(jnp.float32)
+    * 1e-30,
+    g688,
+    idx688,
+)
+chain(
+    "gather-by-perm+segsum [688k,9]",
+    lambda g, i, s: jnp.sum(
+        jax.ops.segment_sum(
+            g.reshape(-1, 9)[jnp.argsort(i.reshape(-1)) + (s > 1e30).astype(jnp.int32)],
+            idx_sorted.reshape(-1),
+            num_segments=135_001,
+            indices_are_sorted=True,
+        )
+    )
+    * 1e-30,
+    g688,
+    idx688,
+)
 chain(
     "searchsorted 2689 in 2.16M",
     lambda k, s: jnp.float32(
