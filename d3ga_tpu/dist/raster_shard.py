@@ -50,6 +50,8 @@ def rasterize_collective(
     sub_block: int = 0,
     sub_cap: int = 1024,
     super_factor: int = 1,
+    coarse: str = "topk",
+    dup: int = 2,
 ):
     """Rasterize from per-shard Gaussian arrays; returns (image, aux):
     the full [C, H, W] image (replicated within the axis group) and a
@@ -112,7 +114,7 @@ def rasterize_collective(
     ranks, counts, block_overflow = _select_per_tile(
         rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile, tile_ids=tile_ids,
         block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
-        super_factor=super_factor,
+        super_factor=super_factor, coarse=coarse, dup=dup,
     )
     sel_valid = ranks < BIG_RANK
     safe = jnp.where(sel_valid, ranks, 0)
@@ -174,6 +176,8 @@ def rasterize_sharded(
     sub_block: int = 0,
     sub_cap: int = 1024,
     super_factor: int = 1,
+    coarse: str = "topk",
+    dup: int = 2,
     axis: str = "model",
 ):
     """Top-level wrapper: shards full Gaussian arrays over `axis`, runs
@@ -229,7 +233,7 @@ def rasterize_sharded(
             sh_degree=sh_degree,
             max_per_tile=max_per_tile,
             block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
-            super_factor=super_factor,
+            super_factor=super_factor, coarse=coarse, dup=dup,
             **{k: local.get(k) for k in args},
         )
         return img, jax.lax.psum(aux.overflow, axis)
