@@ -47,3 +47,32 @@ class TestPallasBlend:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
                 err_msg=f"grad mismatch: {name}",
             )
+
+    def test_six_channel_fused_rgb_silhouette(self):
+        # The training step fuses RGB + silhouette into one 6-channel
+        # rasterization; the record kernel must match the XLA blend for
+        # C=6 (CR=12) including gradients.
+        cam = simple_camera(w=64, h=48)
+        means, scales, rots, opac, colors3 = random_scene(jax.random.PRNGKey(3), n=80)
+        sil = jax.random.uniform(jax.random.PRNGKey(4), colors3.shape)
+        colors6 = jnp.concatenate([colors3, sil], axis=-1)
+        bg = jnp.asarray([0.1, 0.2, 0.3, 0.0, 0.0, 0.0])
+
+        def render(c, pallas):
+            img, _ = rasterize_tiled(
+                means, cam, bg, scales=scales, rotations=rots, opacities=opac,
+                colors=c, max_per_tile=64, use_pallas=pallas,
+                pallas_interpret=pallas,
+            )
+            return img
+
+        ref = render(colors6, False)
+        img = render(colors6, True)
+        assert img.shape == (6, 48, 64)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=5e-5)
+
+        g_ref = jax.grad(lambda c: jnp.sum(render(c, False) ** 2))(colors6)
+        g_pl = jax.grad(lambda c: jnp.sum(render(c, True) ** 2))(colors6)
+        np.testing.assert_allclose(
+            np.asarray(g_ref), np.asarray(g_pl), rtol=1e-4, atol=1e-5
+        )
