@@ -308,6 +308,8 @@ def avatar_config_from(config: Dict) -> Dict:
         "scale_bary": config.get("canon_mlp", {}).get("scale_bary", 0.25),
         "background": tcfg.get("background", "white"),
         "use_face_emb": tcfg.get("use_face_emb", False),
+        "raster_backend": tcfg.get("raster_backend", "xla"),
+        "raster_opts": tcfg.get("raster_opts", {}),
         "face_embed_dim": tcfg.get("face_embed_dim", 128),
         "use_opt_smplx": tcfg.get("use_opt_smplx", False),
         "mocap": config.get("dataset_name") != "thuman4",

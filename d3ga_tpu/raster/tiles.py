@@ -1070,6 +1070,10 @@ def rasterize_tiled(
         # materialized — the dominant HBM-byte cost on this rig.
         from d3ga_tpu.raster.pallas_blend_rec import blend_tiles_rec
 
+        # Pallas TPU kernels only run compiled on TPU; interpret
+        # elsewhere (CPU tests, virtual meshes, dryruns).
+        pallas_interpret = pallas_interpret or jax.default_backend() != "tpu"
+
         records_ext = jnp.concatenate(
             [records, jnp.zeros((1, records.shape[1]), records.dtype)], axis=0
         )

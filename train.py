@@ -70,6 +70,8 @@ def build_synthetic(config, split="train", return_teacher=False):
             "use_blur": tcfg.get("use_blur", False),
             "use_color_calib": tcfg.get("use_color_calib", True),
             "use_opt_smplx": tcfg.get("use_opt_smplx", False),
+            "raster_backend": tcfg.get("raster_backend", "xla"),
+            "raster_opts": tcfg.get("raster_opts", {}),
         },
     )
     model, skel, lbs_dim = build_synthetic_avatar(**kwargs)
