@@ -35,6 +35,24 @@ class TestShardedRaster:
         )
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
 
+    def test_dupsort_selection_matches_single_device(self, mesh4):
+        # tile-level dup-sort selection inside shard_map must agree with
+        # the single-device image (all-tile lists computed per shard,
+        # tile_ids slicing).
+        cam = simple_camera(w=80, h=64)
+        means, scales, rots, opac, colors = random_scene(jax.random.PRNGKey(5), n=150)
+        bg = jnp.array([0.3, 0.2, 0.1])
+        ref, _ = rasterize_tiled(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac,
+            colors=colors, max_per_tile=256,
+        )
+        img, _ = rasterize_sharded(
+            mesh4, means, cam, bg, scales=scales, rotations=rots,
+            opacities=opac, colors=colors, max_per_tile=256,
+            coarse="dupsort_tile", dup=8,
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+
     def test_gradients_flow_through_collectives(self, mesh4):
         cam = simple_camera(w=48, h=32)
         key = jax.random.PRNGKey(1)
