@@ -52,6 +52,7 @@ def rasterize_collective(
     super_factor: int = 1,
     coarse: str = "topk",
     dup: int = 2,
+    use_pallas: bool = False,
 ):
     """Rasterize from per-shard Gaussian arrays; returns (image, aux):
     the full [C, H, W] image (replicated within the axis group) and a
@@ -117,19 +118,43 @@ def rasterize_collective(
         super_factor=super_factor, coarse=coarse, dup=dup,
     )
     sel_valid = ranks < BIG_RANK
-    safe = jnp.where(sel_valid, ranks, 0)
 
-    xy_t = xy_s[safe]
-    conic_t = conic_s[safe]
-    color_t = color_s[safe]
-    opac_t = opac_s[safe]
+    if use_pallas:
+        # Record-direct fused blend (see tiles.rasterize_tiled): the
+        # shard's contiguous tile slice rides the kernel's tile_offset
+        # scalar; clamped padding tiles blend with a wrong origin but
+        # are dropped at reassembly below.
+        from d3ga_tpu.raster.pallas_blend_rec import blend_tiles_rec
 
-    origin = jnp.stack(
-        [(tile_ids % n_tiles_x) * TILE, (tile_ids // n_tiles_x) * TILE], -1
-    )
-    my_tiles = _blend_tiles(
-        xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, origin
-    )  # [tiles_per_shard, 256, C+1]
+        records = jnp.concatenate(
+            [xy_s, conic_s, opac_s[:, None], color_s], axis=-1
+        )
+        records_ext = jnp.concatenate(
+            [records, jnp.zeros((1, records.shape[1]), records.dtype)], axis=0
+        )
+        idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
+        rec_t = records_ext[idx]
+        C = color_s.shape[-1]
+        interp = jax.default_backend() != "tpu"
+        out = blend_tiles_rec(
+            rec_t, jnp.minimum(counts, max_per_tile),
+            my * tiles_per_shard, n_tiles_x, C, interp,
+        )
+        rgb = out[..., :-1] + out[..., -1:] * bg_color
+        my_tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
+    else:
+        safe = jnp.where(sel_valid, ranks, 0)
+        xy_t = xy_s[safe]
+        conic_t = conic_s[safe]
+        color_t = color_s[safe]
+        opac_t = opac_s[safe]
+
+        origin = jnp.stack(
+            [(tile_ids % n_tiles_x) * TILE, (tile_ids // n_tiles_x) * TILE], -1
+        )
+        my_tiles = _blend_tiles(
+            xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, origin
+        )  # [tiles_per_shard, 256, C+1]
 
     all_tiles = jax.lax.all_gather(my_tiles, axis, tiled=True)
     # Drop clamped padding duplicates: rebuild by unique tile id order.
@@ -178,6 +203,7 @@ def rasterize_sharded(
     super_factor: int = 1,
     coarse: str = "topk",
     dup: int = 2,
+    use_pallas: bool = False,
     axis: str = "model",
 ):
     """Top-level wrapper: shards full Gaussian arrays over `axis`, runs
@@ -234,6 +260,7 @@ def rasterize_sharded(
             max_per_tile=max_per_tile,
             block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
             super_factor=super_factor, coarse=coarse, dup=dup,
+            use_pallas=use_pallas,
             **{k: local.get(k) for k in args},
         )
         return img, jax.lax.psum(aux.overflow, axis)

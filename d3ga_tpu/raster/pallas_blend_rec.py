@@ -55,8 +55,8 @@ C_NK = (((1,), (0,)), ((), ()))   # standard matmul
 C_FF = (((0,), (0,)), ((), ()))   # contract first-first
 
 
-def _tile_origin(i, b, ntx):
-    t = i * TILES_PER_BLOCK + b
+def _tile_origin(off, i, b, ntx):
+    t = off + i * TILES_PER_BLOCK + b
     tx = jax.lax.rem(t, ntx)
     ty = jax.lax.div(t, ntx)
     return (tx * TILE).astype(jnp.float32), (ty * TILE).astype(jnp.float32)
@@ -109,9 +109,10 @@ def _coeffs_transpose(rec, dcoeffs, sx, sy):
     return jnp.concatenate([dx, dy, dA, dB, dCc], axis=1)
 
 
-def _forward_body(ntx, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
+def _forward_body(ntx, C, rec_ref, cnt_ref, off_ref, basis_ref, tri_ref, out_ref):
     basis = basis_ref[0]
     tri = tri_ref[...]
+    off = off_ref[0, 0]
     i = pl.program_id(0)
     for b in range(TILES_PER_BLOCK):
         # Empty tiles (typically ~40% of a human capture frame) skip the
@@ -126,7 +127,7 @@ def _forward_body(ntx, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
         @pl.when(cnt_ref[i, b] != 0)
         def _():
             rec = rec_ref[b]                                  # [K, CR]
-            sx, sy = _tile_origin(i, b, ntx)
+            sx, sy = _tile_origin(off, i, b, ntx)
             coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
             power = _dot_split_b(basis, coeffs, C_LL)         # [P, K]
             alpha = jnp.minimum(ALPHA_MAX, jnp.exp(_dot_split_b(basis, coeffs2, C_LL)))
@@ -144,9 +145,10 @@ def _forward_body(ntx, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
             out_ref[b] = jnp.concatenate([rgb, t_bg], axis=-1)
 
 
-def _backward_body(ntx, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref):
+def _backward_body(ntx, C, rec_ref, cnt_ref, off_ref, basis_ref, tri_ref, g_ref, drec_ref):
     basis = basis_ref[0]
     tri = tri_ref[...]
+    off = off_ref[0, 0]
     i = pl.program_id(0)
     for b in range(TILES_PER_BLOCK):
         @pl.when(cnt_ref[i, b] == 0)
@@ -156,7 +158,7 @@ def _backward_body(ntx, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref
         @pl.when(cnt_ref[i, b] != 0)
         def _():
             rec = rec_ref[b]
-            sx, sy = _tile_origin(i, b, ntx)
+            sx, sy = _tile_origin(off, i, b, ntx)
             colors = rec[:, 6 : 6 + C]
             # --- recompute forward ---
             coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
@@ -220,28 +222,30 @@ def _pad_tiles(x, tb):
     return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), pad
 
 
-def _run_forward(rec, counts, ntx, C, interpret=False):
+def _run_forward(rec, counts, offset, ntx, C, interpret=False):
     TB = TILES_PER_BLOCK
     rec, pad = _pad_tiles(rec, TB)
     counts, _ = _pad_tiles(counts, TB)   # padded tiles count 0 -> skipped
     T, K, CR = rec.shape
     counts2 = counts.reshape(T // TB, TB)
+    off2 = jnp.asarray(offset, jnp.int32).reshape(1, 1)
     out = pl.pallas_call(
         partial(_forward_body, ntx, C),
         grid=(T // TB,),
         in_specs=[
             pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0)),
             pl.BlockSpec((T // TB, TB), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ]
         + _table_specs(K),
         out_specs=pl.BlockSpec((TB, P, C + 1), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, P, C + 1), jnp.float32),
         interpret=interpret,
-    )(rec, counts2, *_tables(K))
+    )(rec, counts2, off2, *_tables(K))
     return out[: T - pad] if pad else out
 
 
-def _run_backward(rec, counts, g, ntx, C, interpret=False):
+def _run_backward(rec, counts, offset, g, ntx, C, interpret=False):
     TB = TILES_PER_BLOCK
     T0 = rec.shape[0]
     rec, _ = _pad_tiles(rec, TB)
@@ -249,40 +253,47 @@ def _run_backward(rec, counts, g, ntx, C, interpret=False):
     g, _ = _pad_tiles(g, TB)
     T, K, CR = rec.shape
     counts2 = counts.reshape(T // TB, TB)
+    off2 = jnp.asarray(offset, jnp.int32).reshape(1, 1)
     drec = pl.pallas_call(
         partial(_backward_body, ntx, C),
         grid=(T // TB,),
         in_specs=[
             pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0)),
             pl.BlockSpec((T // TB, TB), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ]
         + _table_specs(K)
         + [pl.BlockSpec((TB, P, C + 1), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((TB, K, CR), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, K, CR), jnp.float32),
         interpret=interpret,
-    )(rec, counts2, *_tables(K), g)
+    )(rec, counts2, off2, *_tables(K), g)
     return drec[:T0]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def blend_tiles_rec(rec, counts, ntx, C, interpret=False):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def blend_tiles_rec(rec, counts, tile_offset, ntx, C, interpret=False):
     """rec: [T, K, CR] per-tile gathered records in depth-rank order
     (CR = 6 + C: x, y, conicA, conicB, conicC, opacity, colors...; xy in
     GLOBAL pixel coords — tile origins are derived from the tile index
     t = row-major over an `ntx`-wide tile grid). Padded entries must be
     all-zero rows (gather a zero sentinel record). Returns [T, 256, C+1]
     tiles with T_bg in the last channel (caller composites bg)."""
-    return _run_forward(rec, counts, ntx, C, interpret)
+    return _run_forward(rec, counts, tile_offset, ntx, C, interpret)
 
 
-def _fwd(rec, counts, ntx, C, interpret):
-    return _run_forward(rec, counts, ntx, C, interpret), (rec, counts)
+def _fwd(rec, counts, tile_offset, ntx, C, interpret):
+    out = _run_forward(rec, counts, tile_offset, ntx, C, interpret)
+    return out, (rec, counts, tile_offset)
 
 
 def _bwd(ntx, C, interpret, res, g):
-    rec, counts = res
-    return (_run_backward(rec, counts, g, ntx, C, interpret), None)
+    rec, counts, tile_offset = res
+    return (
+        _run_backward(rec, counts, tile_offset, g, ntx, C, interpret),
+        None,
+        None,
+    )
 
 
 blend_tiles_rec.defvjp(_fwd, _bwd)

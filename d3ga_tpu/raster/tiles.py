@@ -1080,8 +1080,8 @@ def rasterize_tiled(
         idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
         rec_t = records_ext[idx]  # [T, K, 6+C]
         out = blend_tiles_rec(
-            rec_t, jnp.minimum(counts, max_per_tile), n_tiles_x, C,
-            pallas_interpret,
+            rec_t, jnp.minimum(counts, max_per_tile), jnp.int32(0),
+            n_tiles_x, C, pallas_interpret,
         )
         rgb = out[..., :-1] + out[..., -1:] * bg_color
         tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)

@@ -355,3 +355,25 @@ class TestShardedLossParity:
         np.testing.assert_allclose(
             float(metrics["total_loss"]), single_loss, rtol=2e-4
         )
+
+
+class TestShardedPallasBlend:
+    def test_record_kernel_matches_single_device(self, mesh4):
+        # record-direct blend kernel inside shard_map (tile_offset per
+        # shard) must reproduce the single-device pallas image.
+        from test_raster import random_scene, simple_camera
+
+        cam = simple_camera(w=80, h=64)
+        means, scales, rots, opac, colors = random_scene(jax.random.PRNGKey(9), n=120)
+        bg = jnp.array([0.25, 0.5, 0.75])
+        ref, _ = rasterize_tiled(
+            means, cam, bg, scales=scales, rotations=rots, opacities=opac,
+            colors=colors, max_per_tile=128, use_pallas=True,
+            pallas_interpret=True,
+        )
+        img, _ = rasterize_sharded(
+            mesh4, means, cam, bg, scales=scales, rotations=rots,
+            opacities=opac, colors=colors, max_per_tile=128,
+            use_pallas=True,
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
