@@ -4,18 +4,27 @@ Design (vs the CUDA reference's global (tile|depth) radix sort + per-tile
 sequential blend loops, SURVEY.md §3.5):
 
   1. project all N Gaussians densely (VPU),
-  2. one global stable depth argsort,
-  3. per 16x16 tile, select the frontmost K overlapping Gaussians by
-     depth *rank* (a masked top-k — no dynamic shapes; K is a static cap
-     with an overflow counter, "no silent caps"),
-  4. blend each tile's 256 pixels against its K records by re-expressing
+  2. per-tile selection of the frontmost K overlapping Gaussians — a
+     static-shape cap with overflow counters ("no silent caps") — via
+     one of three interchangeable funnels:
+       - "topk": global depth argsort + block-level masked top_k +
+         optional sub-block refine + per-tile first-K positions,
+       - "dupsort"/"dupsort_tile": duplicate-sort-segment — each
+         Gaussian emits dup^2 (region|rank) int32 keys, ONE flat sort,
+         segments by searchsorted (the CUDA radix-sort analog; the
+         measured-fastest path, PERF_NOTES.md),
+       - "dupsort_depth": lexicographic (tile|depth, index) two-key
+         sort with no global argsort at all,
+  3. blend each tile's 256 pixels against its K records by re-expressing
      front-to-back alpha compositing as an exclusive cumulative product
      over K followed by a [256, K] @ [K, C] matmul (MXU), exactly
-     reproducing the CUDA alpha >= 1/255 skip and T < 1e-4 termination.
+     reproducing the CUDA alpha >= 1/255 skip and T < 1e-4 termination —
+     in XLA (`_blend_tiles`) or in the record-direct Pallas kernel
+     (`pallas_blend_rec.py`, use_pallas=True).
 
 Everything is differentiable through jax.grad; no custom VJP is needed
-for correctness (a fused Pallas kernel provides the same contract for
-speed — see d3ga_tpu/raster/pallas_kernel.py).
+for correctness (the Pallas kernels provide the same contract with
+recompute backwards for speed).
 """
 
 from typing import NamedTuple, Optional
