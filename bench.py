@@ -29,8 +29,9 @@ import numpy as np
 
 BASELINE_MPIX_S = 68.0  # estimated CUDA reference fwd+bwd throughput
 
-H, W = 1024, 667
-N_GAUSS = 135_000
+H = int(os.environ.get("BENCH_H", "1024"))
+W = int(os.environ.get("BENCH_W", "667"))
+N_GAUSS = int(os.environ.get("BENCH_N", "135000"))
 MAX_PER_TILE = int(os.environ.get("BENCH_K", "256"))
 
 

@@ -221,6 +221,30 @@ class TestTiledMatchesOracle:
         )
         np.testing.assert_allclose(np.asarray(img_p), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.parametrize("coarse", ["dupsort_tile", "dupsort_depth"])
+    def test_dupsort_empty_scene(self, coarse):
+        # All Gaussians behind the camera: dup-sort paths must produce
+        # the pure background image without NaNs.
+        cam = simple_camera(w=64, h=48)
+        means = jnp.tile(jnp.array([[0.0, 0.0, -5.0]]), (20, 1))
+        scales = jnp.full((20, 3), 0.05)
+        rots = jnp.tile(jnp.array([1.0, 0, 0, 0]), (20, 1))
+        opac = jnp.full((20, 1), 0.5)
+        colors = jnp.ones((20, 3))
+        bg = jnp.array([0.3, 0.6, 0.9])
+        for pallas in (False, True):
+            img, aux = rasterize_tiled(
+                means, cam, bg, scales=scales, rotations=rots, opacities=opac,
+                colors=colors, max_per_tile=32, coarse=coarse,
+                use_pallas=pallas, pallas_interpret=pallas,
+            )
+            assert int(aux.n_contrib) == 0
+            np.testing.assert_allclose(
+                np.asarray(img),
+                np.broadcast_to(np.asarray(bg)[:, None, None], (3, 48, 64)),
+                atol=1e-6,
+            )
+
     def test_dupsort_clamp_is_counted(self):
         # A rect spanning 3 blocks per side exceeds dup=2 coverage: the
         # dropped (block, gaussian) pairs must be counted, and dup=3
