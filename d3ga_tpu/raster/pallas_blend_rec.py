@@ -109,40 +109,113 @@ def _coeffs_transpose(rec, dcoeffs, sx, sy):
     return jnp.concatenate([dx, dy, dA, dB, dCc], axis=1)
 
 
+def _blend_fwd(rec, basis, tri, sx, sy, C):
+    """Blend one tile's first-K' records (K' = rec rows) -> [P, C+1]."""
+    coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
+    power = _dot_split_b(basis, coeffs, C_LL)         # [P, K']
+    alpha = jnp.minimum(ALPHA_MAX, jnp.exp(_dot_split_b(basis, coeffs2, C_LL)))
+    use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+    alpha = jnp.where(use, alpha, 0.0)
+    lg = jnp.log1p(-alpha)
+    cum = _dot_split_a(lg, tri, C_NK)                 # [P, K']
+    t_after = jnp.exp(cum)
+    accept = t_after >= T_EPS
+    w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
+    t_bg = jnp.exp(
+        jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+    )
+    rgb = _dot_split_ab(w, rec[:, 6 : 6 + C], C_NK)   # [P, C]
+    return jnp.concatenate([rgb, t_bg], axis=-1)
+
+
+def _khalf(K):
+    """Count-adaptive half width: multiple of 128 covering K//2."""
+    kh = ((K // 2) + 127) // 128 * 128
+    return kh if 0 < kh < K else None
+
+
 def _forward_body(ntx, C, rec_ref, cnt_ref, off_ref, basis_ref, tri_ref, out_ref):
     basis = basis_ref[0]
     tri = tri_ref[...]
     off = off_ref[0, 0]
     i = pl.program_id(0)
+    K = tri.shape[0]
+    KH = _khalf(K)
     for b in range(TILES_PER_BLOCK):
+        cnt = cnt_ref[i, b]
+        sx, sy = _tile_origin(off, i, b, ntx)
+
         # Empty tiles (typically ~40% of a human capture frame) skip the
         # whole blend: background transmittance 1, colors 0.
-        @pl.when(cnt_ref[i, b] == 0)
+        @pl.when(cnt == 0)
         def _():
             out_ref[b] = jnp.concatenate(
                 [jnp.zeros((P, C), jnp.float32), jnp.ones((P, 1), jnp.float32)],
                 axis=1,
             )
 
-        @pl.when(cnt_ref[i, b] != 0)
-        def _():
-            rec = rec_ref[b]                                  # [K, CR]
-            sx, sy = _tile_origin(off, i, b, ntx)
-            coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
-            power = _dot_split_b(basis, coeffs, C_LL)         # [P, K]
-            alpha = jnp.minimum(ALPHA_MAX, jnp.exp(_dot_split_b(basis, coeffs2, C_LL)))
-            use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
-            alpha = jnp.where(use, alpha, 0.0)
-            lg = jnp.log1p(-alpha)
-            cum = _dot_split_a(lg, tri, C_NK)                 # [P, K]
-            t_after = jnp.exp(cum)
-            accept = t_after >= T_EPS
-            w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
-            t_bg = jnp.exp(
-                jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
-            )
-            rgb = _dot_split_ab(w, rec[:, 6 : 6 + C], C_NK)   # [P, C]
-            out_ref[b] = jnp.concatenate([rgb, t_bg], axis=-1)
+        if KH is not None:
+            # Count-adaptive width: records past cnt are zero sentinels,
+            # so blending only the first KH slots is EXACT when cnt<=KH.
+            @pl.when((cnt > 0) & (cnt <= KH))
+            def _():
+                out_ref[b] = _blend_fwd(
+                    rec_ref[b][:KH], basis, tri[:KH, :KH], sx, sy, C
+                )
+
+            @pl.when(cnt > KH)
+            def _():
+                out_ref[b] = _blend_fwd(rec_ref[b], basis, tri, sx, sy, C)
+        else:
+            @pl.when(cnt != 0)
+            def _():
+                out_ref[b] = _blend_fwd(rec_ref[b], basis, tri, sx, sy, C)
+
+
+def _blend_bwd(rec, g, basis, tri, sx, sy, C):
+    """Recompute-forward VJP for one tile's first-K' records -> drec [K', CR]."""
+    colors = rec[:, 6 : 6 + C]
+    # --- recompute forward ---
+    coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
+    power = _dot_split_b(basis, coeffs, C_LL)
+    raw = jnp.exp(_dot_split_b(basis, coeffs2, C_LL))
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
+    alpha = jnp.where(use, alpha, 0.0)
+    lg = jnp.log1p(-alpha)
+    cum = _dot_split_a(lg, tri, C_NK)
+    t_after = jnp.exp(cum)
+    accept = t_after >= T_EPS
+    t_before = jnp.exp(cum - lg)
+    w = jnp.where(accept, alpha * t_before, 0.0)
+    sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
+    t_bg = jnp.exp(sum_lg)
+
+    # --- cotangents ---
+    g_rgb = g[:, :C]
+    g_tbg = g[:, C : C + 1]
+    dw = _dot_split_ab(g_rgb, colors, C_LL)       # [P, K']
+    dcolors = _dot_split_ab(w, g_rgb, C_FF)       # [K', C]
+    ds = dw * w
+    dalpha = jnp.where(accept, dw * t_before, 0.0)
+    dsum = g_tbg * t_bg
+    dlg = _dot_split_a(ds, tri, C_LL)             # ds @ U^T
+    dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
+    dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
+    live = use & (raw < ALPHA_MAX)
+    dalpha = jnp.where(live, dalpha, 0.0)
+    dpower2 = dalpha * raw                        # d/d(power+logop)
+    dcoeffs2 = _dot_split_a(dpower2, basis, C_FF)  # [K', 8]
+    dxyabc = _coeffs_transpose(rec, dcoeffs2, sx, sy)  # [K', 5]
+    op = rec[:, 5:6]
+    dopac = jnp.where(
+        op > 0.0, dcoeffs2[:, 0:1] / jnp.maximum(op, OP_EPS), 0.0
+    )
+    pad = rec.shape[1] - 6 - C
+    parts = [dxyabc, dopac, dcolors]
+    if pad:
+        parts.append(jnp.zeros((dcolors.shape[0], pad), jnp.float32))
+    return jnp.concatenate(parts, axis=1)         # [K', CR]
 
 
 def _backward_body(ntx, C, rec_ref, cnt_ref, off_ref, basis_ref, tri_ref, g_ref, drec_ref):
@@ -150,58 +223,37 @@ def _backward_body(ntx, C, rec_ref, cnt_ref, off_ref, basis_ref, tri_ref, g_ref,
     tri = tri_ref[...]
     off = off_ref[0, 0]
     i = pl.program_id(0)
+    K = tri.shape[0]
+    KH = _khalf(K)
     for b in range(TILES_PER_BLOCK):
-        @pl.when(cnt_ref[i, b] == 0)
+        cnt = cnt_ref[i, b]
+        sx, sy = _tile_origin(off, i, b, ntx)
+
+        @pl.when(cnt == 0)
         def _():
             drec_ref[b] = jnp.zeros_like(drec_ref[b])
 
-        @pl.when(cnt_ref[i, b] != 0)
-        def _():
-            rec = rec_ref[b]
-            sx, sy = _tile_origin(off, i, b, ntx)
-            colors = rec[:, 6 : 6 + C]
-            # --- recompute forward ---
-            coeffs, coeffs2 = _coeffs_from_rec(rec, sx, sy)
-            power = _dot_split_b(basis, coeffs, C_LL)
-            raw = jnp.exp(_dot_split_b(basis, coeffs2, C_LL))
-            alpha = jnp.minimum(ALPHA_MAX, raw)
-            use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
-            alpha = jnp.where(use, alpha, 0.0)
-            lg = jnp.log1p(-alpha)
-            cum = _dot_split_a(lg, tri, C_NK)
-            t_after = jnp.exp(cum)
-            accept = t_after >= T_EPS
-            t_before = jnp.exp(cum - lg)
-            w = jnp.where(accept, alpha * t_before, 0.0)
-            sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
-            t_bg = jnp.exp(sum_lg)
+        if KH is not None:
+            @pl.when((cnt > 0) & (cnt <= KH))
+            def _():
+                d = _blend_bwd(
+                    rec_ref[b][:KH], g_ref[b], basis, tri[:KH, :KH], sx, sy, C
+                )
+                drec_ref[b] = jnp.concatenate(
+                    [d, jnp.zeros((K - KH, d.shape[1]), jnp.float32)], axis=0
+                )
 
-            # --- cotangents ---
-            g = g_ref[b]                                  # [P, C+1]
-            g_rgb = g[:, :C]
-            g_tbg = g[:, C : C + 1]
-            dw = _dot_split_ab(g_rgb, colors, C_LL)       # [P, K]
-            dcolors = _dot_split_ab(w, g_rgb, C_FF)       # [K, C]
-            ds = dw * w
-            dalpha = jnp.where(accept, dw * t_before, 0.0)
-            dsum = g_tbg * t_bg
-            dlg = _dot_split_a(ds, tri, C_LL)             # ds @ U^T
-            dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
-            dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
-            live = use & (raw < ALPHA_MAX)
-            dalpha = jnp.where(live, dalpha, 0.0)
-            dpower2 = dalpha * raw                        # d/d(power+logop)
-            dcoeffs2 = _dot_split_a(dpower2, basis, C_FF)  # [K, 8]
-            dxyabc = _coeffs_transpose(rec, dcoeffs2, sx, sy)  # [K, 5]
-            op = rec[:, 5:6]
-            dopac = jnp.where(
-                op > 0.0, dcoeffs2[:, 0:1] / jnp.maximum(op, OP_EPS), 0.0
-            )
-            pad = rec.shape[1] - 6 - C
-            parts = [dxyabc, dopac, dcolors]
-            if pad:
-                parts.append(jnp.zeros((dcolors.shape[0], pad), jnp.float32))
-            drec_ref[b] = jnp.concatenate(parts, axis=1)  # [K, CR]
+            @pl.when(cnt > KH)
+            def _():
+                drec_ref[b] = _blend_bwd(
+                    rec_ref[b], g_ref[b], basis, tri, sx, sy, C
+                )
+        else:
+            @pl.when(cnt != 0)
+            def _():
+                drec_ref[b] = _blend_bwd(
+                    rec_ref[b], g_ref[b], basis, tri, sx, sy, C
+                )
 
 
 def _tables(K):
