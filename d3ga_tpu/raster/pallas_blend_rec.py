@@ -349,3 +349,165 @@ def _bwd(ntx, C, interpret, res, g):
 
 
 blend_tiles_rec.defvjp(_fwd, _bwd)
+
+
+# --- image-layout variant ----------------------------------------------
+# Writes tiles straight into a [nty*16, ntx*16, C+1] image buffer (2D
+# grid over tile rows x G-tile groups), eliminating the XLA untile
+# transpose chain (and its backward) entirely. Used by the full-grid
+# single-device path; the sharded path keeps the flat-tiles variant.
+
+
+def _img_group(ntx):
+    """Tiles per program along x: the largest divisor of ntx <= 8."""
+    for g in (8, 7, 6, 5, 4, 3, 2, 1):
+        if ntx % g == 0:
+            return g
+    return 1
+
+
+def _forward_body_img(ntx, G, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
+    basis = basis_ref[0]
+    tri = tri_ref[...]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    K = tri.shape[0]
+    KH = _khalf(K)
+    for b in range(G):
+        cnt = cnt_ref[i, j * G + b]
+        sx = ((j * G + b) * TILE).astype(jnp.float32)
+        sy = (i * TILE).astype(jnp.float32)
+        cols = slice(b * TILE, (b + 1) * TILE)
+
+        @pl.when(cnt == 0)
+        def _():
+            out_ref[:, cols, :] = jnp.concatenate(
+                [
+                    jnp.zeros((TILE, TILE, C), jnp.float32),
+                    jnp.ones((TILE, TILE, 1), jnp.float32),
+                ],
+                axis=2,
+            )
+
+        if KH is not None:
+            @pl.when((cnt > 0) & (cnt <= KH))
+            def _():
+                o = _blend_fwd(rec_ref[0, b][:KH], basis, tri[:KH, :KH], sx, sy, C)
+                out_ref[:, cols, :] = o.reshape(TILE, TILE, C + 1)
+
+            @pl.when(cnt > KH)
+            def _():
+                o = _blend_fwd(rec_ref[0, b], basis, tri, sx, sy, C)
+                out_ref[:, cols, :] = o.reshape(TILE, TILE, C + 1)
+        else:
+            @pl.when(cnt != 0)
+            def _():
+                o = _blend_fwd(rec_ref[0, b], basis, tri, sx, sy, C)
+                out_ref[:, cols, :] = o.reshape(TILE, TILE, C + 1)
+
+
+def _backward_body_img(ntx, G, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref):
+    basis = basis_ref[0]
+    tri = tri_ref[...]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    K = tri.shape[0]
+    KH = _khalf(K)
+    for b in range(G):
+        cnt = cnt_ref[i, j * G + b]
+        sx = ((j * G + b) * TILE).astype(jnp.float32)
+        sy = (i * TILE).astype(jnp.float32)
+        cols = slice(b * TILE, (b + 1) * TILE)
+
+        @pl.when(cnt == 0)
+        def _():
+            drec_ref[0, b] = jnp.zeros_like(drec_ref[0, b])
+
+        if KH is not None:
+            @pl.when((cnt > 0) & (cnt <= KH))
+            def _():
+                g = g_ref[:, cols, :].reshape(P, C + 1)
+                d = _blend_bwd(rec_ref[0, b][:KH], g, basis, tri[:KH, :KH], sx, sy, C)
+                drec_ref[0, b] = jnp.concatenate(
+                    [d, jnp.zeros((K - KH, d.shape[1]), jnp.float32)], axis=0
+                )
+
+            @pl.when(cnt > KH)
+            def _():
+                g = g_ref[:, cols, :].reshape(P, C + 1)
+                drec_ref[0, b] = _blend_bwd(rec_ref[0, b], g, basis, tri, sx, sy, C)
+        else:
+            @pl.when(cnt != 0)
+            def _():
+                g = g_ref[:, cols, :].reshape(P, C + 1)
+                drec_ref[0, b] = _blend_bwd(rec_ref[0, b], g, basis, tri, sx, sy, C)
+
+
+def _run_forward_img(rec, counts, ntx, nty, C, interpret=False):
+    T, K, CR = rec.shape
+    assert T == ntx * nty
+    G = _img_group(ntx)
+    rec4 = rec.reshape(nty, ntx, K, CR)
+    cnt2 = counts.reshape(nty, ntx)
+    img = pl.pallas_call(
+        partial(_forward_body_img, ntx, G, C),
+        grid=(nty, ntx // G),
+        in_specs=[
+            pl.BlockSpec((1, G, K, CR), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((nty, ntx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((1, P, 8), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((K, K), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, G * TILE, C + 1), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((nty * TILE, ntx * TILE, C + 1), jnp.float32),
+        interpret=interpret,
+    )(rec4, cnt2, *_tables(K))
+    return img
+
+
+def _run_backward_img(rec, counts, g, ntx, nty, C, interpret=False):
+    T, K, CR = rec.shape
+    G = _img_group(ntx)
+    rec4 = rec.reshape(nty, ntx, K, CR)
+    cnt2 = counts.reshape(nty, ntx)
+    drec = pl.pallas_call(
+        partial(_backward_body_img, ntx, G, C),
+        grid=(nty, ntx // G),
+        in_specs=[
+            pl.BlockSpec((1, G, K, CR), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((nty, ntx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((1, P, 8), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((K, K), lambda i, j: (0, 0)),
+        ]
+        + [pl.BlockSpec((TILE, G * TILE, C + 1), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, G, K, CR), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nty, ntx, K, CR), jnp.float32),
+        interpret=interpret,
+    )(rec4, cnt2, *_tables(K), g)
+    return drec.reshape(T, K, CR)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def blend_image_rec(rec, counts, ntx, nty, C, interpret=False):
+    """Image-layout record blend: same record contract as
+    `blend_tiles_rec` over the FULL row-major tile grid, but the output
+    is the assembled padded image [nty*16, ntx*16, C+1] (T_bg last) —
+    no XLA untile transpose needed. Caller composites bg and crops."""
+    return _run_forward_img(rec, counts, ntx, nty, C, interpret)
+
+
+def _fwd_img(rec, counts, ntx, nty, C, interpret):
+    out = _run_forward_img(rec, counts, ntx, nty, C, interpret)
+    return out, (rec, counts)
+
+
+def _bwd_img(ntx, nty, C, interpret, res, g):
+    rec, counts = res
+    return (_run_backward_img(rec, counts, g, ntx, nty, C, interpret), None)
+
+
+blend_image_rec.defvjp(_fwd_img, _bwd_img)

@@ -1076,8 +1076,9 @@ def rasterize_tiled(
         # Record-direct fused blend: ONE gather feeds the kernel (raw
         # records, global xy); invalid entries gather a zero sentinel
         # row (opacity 0 -> inert), so no mask/coeff/slice buffers are
-        # materialized — the dominant HBM-byte cost on this rig.
-        from d3ga_tpu.raster.pallas_blend_rec import blend_tiles_rec
+        # materialized; the kernel writes the assembled image directly
+        # (no untile transpose chain).
+        from d3ga_tpu.raster.pallas_blend_rec import blend_image_rec
 
         # Pallas TPU kernels only run compiled on TPU; interpret
         # elsewhere (CPU tests, virtual meshes, dryruns).
@@ -1088,12 +1089,22 @@ def rasterize_tiled(
         )
         idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
         rec_t = records_ext[idx]  # [T, K, 6+C]
-        out = blend_tiles_rec(
-            rec_t, jnp.minimum(counts, max_per_tile), jnp.int32(0),
-            n_tiles_x, C, pallas_interpret,
+        out = blend_image_rec(
+            rec_t, jnp.minimum(counts, max_per_tile),
+            n_tiles_x, n_tiles_y, C, pallas_interpret,
+        )  # [nty*16, ntx*16, C+1] with T_bg last
+        rgb = out[..., :C] + out[..., C:] * jnp.asarray(bg_color)
+        img = jnp.concatenate([rgb, 1.0 - out[..., C:]], axis=-1)[:H, :W]
+        image = jnp.transpose(img[..., :C], (2, 0, 1))
+
+        aux = RasterAux(
+            overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
+            max_per_tile=jnp.max(counts),
+            n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
         )
-        rgb = out[..., :-1] + out[..., -1:] * bg_color
-        tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
+        if return_alpha:
+            return image, img[..., C], aux
+        return image, aux
     else:
         safe_ranks = jnp.where(sel_valid, ranks, 0)
         rec_t = records[safe_ranks]  # [T, K, 6+C]
