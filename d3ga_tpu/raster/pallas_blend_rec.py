@@ -358,9 +358,14 @@ blend_tiles_rec.defvjp(_fwd, _bwd)
 # single-device path; the sharded path keeps the flat-tiles variant.
 
 
+IMG_G_CAP = int(os.environ.get("D3GA_IMG_G", "8"))
+
+
 def _img_group(ntx):
-    """Tiles per program along x: the largest divisor of ntx <= 8."""
-    for g in (8, 7, 6, 5, 4, 3, 2, 1):
+    """Tiles per program along x: the largest divisor of ntx <= the cap
+    (default 8; env D3GA_IMG_G sweeps it — larger groups mean fewer grid
+    programs, amortizing the ~7-8.5 us per-program overhead)."""
+    for g in range(min(IMG_G_CAP, ntx), 0, -1):
         if ntx % g == 0:
             return g
     return 1

@@ -27,6 +27,8 @@ for correctness (the Pallas kernels provide the same contract with
 recompute backwards for speed).
 """
 
+import os
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -35,6 +37,21 @@ import numpy as np
 
 from d3ga_tpu.raster.camera import Camera
 from d3ga_tpu.raster.project import project_gaussians, tile_rect
+
+# Backward-scatter strategy for the record gather (measured via
+# tools/scatter_probe.py; see PERF_NOTES.md):
+#   "add"     — plain gather; AD transposes it to a scatter-ADD over
+#               [T*K -> N, CR] rows (the XLA default).
+#   "dupslot" — carry each selected entry's DUPLICATE-SLOT id q = d*N+r
+#               through the dup-sort as a sort payload; the backward
+#               becomes a collision-free scatter-SET into [dup^2*N, CR]
+#               plus a dense (dup^2, N, CR) axis-0 sum. No combiner, no
+#               read-modify-write.
+REC_GRAD = os.environ.get("D3GA_REC_GRAD", "add")
+# Depth-reorder strategy: "argsort" (argsort + row gather) or
+# "sortpayload" (ONE multi-operand lax.sort carrying all record
+# columns as payloads).
+REORDER = os.environ.get("D3GA_REORDER", "argsort")
 
 TILE = 16
 ALPHA_SKIP = 1.0 / 255.0
@@ -172,7 +189,46 @@ def _coarse_block_lists_dupsort(
     return block_ranks, block_packed, block_counts, overflow
 
 
-def _select_per_tile_dupsort(rects, valid_sorted, n_tiles_x, n_tiles_y, K, dup=4):
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_records_dupslot(records_ext, idx, q, dup2):
+    """Per-tile record gather [T, K] rows of records_ext [N+1, CR] whose
+    BACKWARD is a collision-free scatter-SET into the duplicate-slot
+    layout [dup2*N, CR] followed by a dense (dup2, N, CR) axis-0 sum —
+    replacing the XLA gather-transpose scatter-ADD (10.8 ms at Goliath
+    scale on the axon rig, PERF_NOTES.md).
+
+    idx: [T, K] gather rows (N = sentinel zero row for dead slots);
+    q:   [T, K] duplicate-slot ids in [0, dup2*N), one per LIVE selected
+         entry (collision-free by construction: q identifies the unique
+         sorted key instance (tile, rank)); dead slots must carry
+         q >= dup2*N (dropped by the scatter's OOB mode)."""
+    return records_ext[idx]
+
+
+def _gather_dupslot_fwd(records_ext, idx, q, dup2):
+    return records_ext[idx], (idx, q, records_ext.shape[0])
+
+
+def _gather_dupslot_bwd(dup2, res, g):
+    idx, q, n_ext = res
+    n = n_ext - 1
+    cr = g.shape[-1]
+    buf = (
+        jnp.zeros((dup2 * n, cr), g.dtype)
+        .at[q.reshape(-1)]
+        .set(g.reshape(-1, cr), mode="drop", unique_indices=True)
+    )
+    drec = buf.reshape(dup2, n, cr).sum(0)
+    dre = jnp.concatenate([drec, jnp.zeros((1, cr), g.dtype)], axis=0)
+    return (dre, None, None)
+
+
+gather_records_dupslot.defvjp(_gather_dupslot_fwd, _gather_dupslot_bwd)
+
+
+def _select_per_tile_dupsort(
+    rects, valid_sorted, n_tiles_x, n_tiles_y, K, dup=4, return_q=False
+):
     """Per-TILE selection in ONE duplicate-sort-segment pass — no block
     funnel at all. Each Gaussian emits dup x dup (tile | rank) int32
     keys covering its tile rect; one flat sort; per-tile segments via
@@ -215,8 +271,17 @@ def _select_per_tile_dupsort(rects, valid_sorted, n_tiles_x, n_tiles_y, K, dup=4
             keys.append(
                 jnp.where(ok, (tid << rank_bits) | ranks, (T << rank_bits))
             )
-    keys = jnp.sort(jnp.concatenate(keys))
-    m = keys.shape[0]
+    m = dup * dup * n
+    if return_q:
+        # carry the duplicate-slot id q = d*N + rank through the sort as
+        # a payload (feeds the dupslot backward; +~1.5 ms over the
+        # payload-free sort on the axon rig, tools/scatter_probe.py)
+        keys, q_s = jax.lax.sort(
+            (jnp.concatenate(keys), jnp.arange(m, dtype=jnp.int32)),
+            num_keys=1,
+        )
+    else:
+        keys = jnp.sort(jnp.concatenate(keys))
 
     starts = jnp.searchsorted(
         keys, jnp.arange(T + 1, dtype=jnp.int32) << rank_bits,
@@ -225,12 +290,21 @@ def _select_per_tile_dupsort(rects, valid_sorted, n_tiles_x, n_tiles_y, K, dup=4
     counts = starts[1:] - starts[:-1]
     kk = min(K, m)
     idx = jnp.minimum(starts[:-1, None] + jnp.arange(kk, dtype=jnp.int32)[None], m - 1)
-    seg = keys[idx]
     j = jax.lax.broadcasted_iota(jnp.int32, (T, kk), 1)
     live = j < jnp.minimum(counts, kk)[:, None]
-    out = jnp.where(live, seg & ((1 << rank_bits) - 1), BIG_RANK)
+    if return_q:
+        seg_q = q_s[idx]
+        out = jnp.where(live, seg_q % n, BIG_RANK)
+        q = jnp.where(live, seg_q, m)
+    else:
+        seg = keys[idx]
+        out = jnp.where(live, seg & ((1 << rank_bits) - 1), BIG_RANK)
     if K > kk:
         out = jnp.pad(out, ((0, 0), (0, K - kk)), constant_values=BIG_RANK)
+        if return_q:
+            q = jnp.pad(q, ((0, 0), (0, K - kk)), constant_values=m)
+    if return_q:
+        return out, counts, clamp_dropped, q
     return out, counts, clamp_dropped
 
 
@@ -394,7 +468,7 @@ def _coarse_block_lists(
 def _select_per_tile(
     rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K,
     tile_ids=None, block=8, block_cap=4096, sub_block=0, sub_cap=1024,
-    super_factor=1, coarse="topk", dup=2,
+    super_factor=1, coarse="topk", dup=2, return_q=False,
 ):
     """Funnel tile binning (all inputs in depth-rank order).
 
@@ -431,6 +505,16 @@ def _select_per_tile(
     kb = min(block_cap, n)
 
     if coarse == "dupsort_tile":
+        if return_q:
+            out, counts, overflow, q = _select_per_tile_dupsort(
+                rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K,
+                dup=dup, return_q=True,
+            )
+            if tile_ids is not None:
+                out = out[tile_ids]
+                counts = counts[tile_ids]
+                q = q[tile_ids]
+            return out, counts, overflow, q
         out, counts, overflow = _select_per_tile_dupsort(
             rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K, dup=dup
         )
@@ -438,6 +522,7 @@ def _select_per_tile(
             out = out[tile_ids]
             counts = counts[tile_ids]
         return out, counts, overflow
+    assert not return_q, "return_q requires coarse='dupsort_tile'"
 
     ranks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     # Pack the rect into one int32 (tile grids are < 256 on a side).
@@ -1056,20 +1141,48 @@ def rasterize_tiled(
             dup=dup,
         )
         sel_valid = ranks >= 0
+        dup_q = None
     else:
         sort_depth = jnp.where(valid, proj.depth, jnp.inf)
-        order = jnp.argsort(sort_depth, stable=True)  # rank -> gaussian id
-        records = records[order]
-        radius_s = proj.radius[order]
-        valid_s = valid[order]
+        if REORDER == "sortpayload":
+            # ONE multi-operand sort carries every record column (plus
+            # radius/valid) as payloads — replaces argsort + row gather.
+            nc = records.shape[1]
+            outs = jax.lax.sort(
+                (sort_depth,)
+                + tuple(records[:, i] for i in range(nc))
+                + (proj.radius, valid.astype(jnp.int32)),
+                num_keys=1,
+                is_stable=True,
+            )
+            records = jnp.stack(outs[1 : 1 + nc], axis=1)
+            radius_s = outs[1 + nc]
+            valid_s = outs[2 + nc].astype(bool)
+        else:
+            order = jnp.argsort(sort_depth, stable=True)  # rank -> id
+            records = records[order]
+            radius_s = proj.radius[order]
+            valid_s = valid[order]
         xy_s = records[:, 0:2]
 
         rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
-        ranks, counts, block_overflow = _select_per_tile(
-            rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
-            block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
-            super_factor=super_factor, coarse=coarse, dup=dup,
+        want_q = (
+            use_pallas and coarse == "dupsort_tile" and REC_GRAD == "dupslot"
         )
+        if want_q:
+            ranks, counts, block_overflow, dup_q = _select_per_tile(
+                rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
+                block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
+                super_factor=super_factor, coarse=coarse, dup=dup,
+                return_q=True,
+            )
+        else:
+            dup_q = None
+            ranks, counts, block_overflow = _select_per_tile(
+                rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
+                block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
+                super_factor=super_factor, coarse=coarse, dup=dup,
+            )
         sel_valid = ranks < BIG_RANK
 
     if use_pallas:
@@ -1088,7 +1201,10 @@ def rasterize_tiled(
             [records, jnp.zeros((1, records.shape[1]), records.dtype)], axis=0
         )
         idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
-        rec_t = records_ext[idx]  # [T, K, 6+C]
+        if dup_q is not None:
+            rec_t = gather_records_dupslot(records_ext, idx, dup_q, dup * dup)
+        else:
+            rec_t = records_ext[idx]  # [T, K, 6+C]
         out = blend_image_rec(
             rec_t, jnp.minimum(counts, max_per_tile),
             n_tiles_x, n_tiles_y, C, pallas_interpret,
