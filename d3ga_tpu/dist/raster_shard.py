@@ -23,12 +23,14 @@ import jax.numpy as jnp
 
 from d3ga_tpu.raster.camera import Camera
 from d3ga_tpu.raster.project import project_gaussians, tile_rect
+import d3ga_tpu.raster.tiles as _tiles
 from d3ga_tpu.raster.tiles import (
     BIG_RANK,
     TILE,
     RasterAux,
     _blend_tiles,
     _select_per_tile,
+    gather_records_dupslot,
 )
 
 
@@ -97,14 +99,30 @@ def rasterize_collective(
 
     valid = valid & (radius > 0)
     sort_depth = jnp.where(valid, depth, jnp.inf)
-    order = jnp.argsort(sort_depth, stable=True)
-
-    xy_s = xy[order]
-    conic_s = conic[order]
-    color_s = color[order]
-    opac_s = opac[order]
-    radius_s = radius[order]
-    valid_s = valid[order]
+    if _tiles.REORDER == "sortpayload":
+        C0 = color.shape[-1]
+        outs = jax.lax.sort(
+            (sort_depth, xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1],
+             conic[:, 2], opac, radius)
+            + tuple(color[:, i] for i in range(C0))
+            + (valid.astype(jnp.int32),),
+            num_keys=1,
+            is_stable=True,
+        )
+        xy_s = jnp.stack(outs[1:3], axis=1)
+        conic_s = jnp.stack(outs[3:6], axis=1)
+        opac_s = outs[6]
+        radius_s = outs[7]
+        color_s = jnp.stack(outs[8 : 8 + C0], axis=1)
+        valid_s = outs[8 + C0].astype(bool)
+    else:
+        order = jnp.argsort(sort_depth, stable=True)
+        xy_s = xy[order]
+        conic_s = conic[order]
+        color_s = color[order]
+        opac_s = opac[order]
+        radius_s = radius[order]
+        valid_s = valid[order]
 
     rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
 
@@ -112,11 +130,24 @@ def rasterize_collective(
     tile_ids = my * tiles_per_shard + jnp.arange(tiles_per_shard, dtype=jnp.int32)
     tile_ids = jnp.minimum(tile_ids, n_tiles - 1)  # clamp padding tiles
 
-    ranks, counts, block_overflow = _select_per_tile(
-        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile, tile_ids=tile_ids,
-        block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
-        super_factor=super_factor, coarse=coarse, dup=dup,
+    want_q = (
+        use_pallas and coarse == "dupsort_tile" and _tiles.REC_GRAD == "dupslot"
     )
+    if want_q:
+        ranks, counts, block_overflow, dup_q = _select_per_tile(
+            rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
+            tile_ids=tile_ids, block_cap=block_cap, sub_block=sub_block,
+            sub_cap=sub_cap, super_factor=super_factor, coarse=coarse,
+            dup=dup, return_q=True,
+        )
+    else:
+        dup_q = None
+        ranks, counts, block_overflow = _select_per_tile(
+            rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile,
+            tile_ids=tile_ids, block_cap=block_cap, sub_block=sub_block,
+            sub_cap=sub_cap, super_factor=super_factor, coarse=coarse,
+            dup=dup,
+        )
     sel_valid = ranks < BIG_RANK
 
     if use_pallas:
@@ -133,7 +164,10 @@ def rasterize_collective(
             [records, jnp.zeros((1, records.shape[1]), records.dtype)], axis=0
         )
         idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
-        rec_t = records_ext[idx]
+        if dup_q is not None:
+            rec_t = gather_records_dupslot(records_ext, idx, dup_q, dup * dup)
+        else:
+            rec_t = records_ext[idx]
         C = color_s.shape[-1]
         interp = jax.default_backend() != "tpu"
         out = blend_tiles_rec(

@@ -377,3 +377,41 @@ class TestShardedPallasBlend:
             use_pallas=True,
         )
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+
+    def test_variant_backends_match_single_device(self, mesh4, monkeypatch):
+        # dupslot record gradients + sort-payload reorder inside
+        # shard_map: image AND means-gradient must match the default
+        # single-device pipeline.
+        import d3ga_tpu.raster.tiles as tiles
+        from test_raster import random_scene, simple_camera
+
+        cam = simple_camera(w=80, h=64)
+        means, scales, rots, opac, colors = random_scene(jax.random.PRNGKey(5), n=150)
+        bg = jnp.zeros(3)
+
+        def loss_single(m):
+            img, _ = rasterize_tiled(
+                m, cam, bg, scales=scales, rotations=rots, opacities=opac,
+                colors=colors, max_per_tile=128, coarse="dupsort_tile",
+                use_pallas=True, pallas_interpret=True,
+            )
+            return jnp.sum(img**2)
+
+        ref_l, ref_g = jax.value_and_grad(loss_single)(means)
+
+        monkeypatch.setattr(tiles, "REC_GRAD", "dupslot")
+        monkeypatch.setattr(tiles, "REORDER", "sortpayload")
+
+        def loss_shard(m):
+            img, _ = rasterize_sharded(
+                mesh4, m, cam, bg, scales=scales, rotations=rots,
+                opacities=opac, colors=colors, max_per_tile=128,
+                coarse="dupsort_tile", use_pallas=True,
+            )
+            return jnp.sum(img**2)
+
+        l2, g2 = jax.value_and_grad(loss_shard)(means)
+        np.testing.assert_allclose(float(l2), float(ref_l), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(ref_g), rtol=1e-3, atol=1e-6
+        )
