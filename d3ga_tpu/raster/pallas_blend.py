@@ -115,9 +115,10 @@ def _forward_body(coeff_ref, color_ref, opac_ref, basis_ref, tri_ref, out_ref):
         cum = _dot_split_a(
             lg, tri, (((1,), (0,)), ((), ()))
         )  # [256, K] inclusive log-transmittance (tri is 0/1-exact)
-        t_after = jnp.exp(cum)
+        t_before = jnp.exp(cum - lg)  # one exp: t_after = t_before*(1-alpha)
+        t_after = t_before * (1.0 - alpha)
         accept = t_after >= T_EPS
-        w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
+        w = jnp.where(accept, alpha * t_before, 0.0)
         t_bg = jnp.exp(
             jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
         )
@@ -145,9 +146,9 @@ def _backward_body(
         alpha = jnp.where(use, alpha, 0.0)
         lg = jnp.log1p(-alpha)
         cum = _dot_split_a(lg, tri, (((1,), (0,)), ((), ())))
-        t_after = jnp.exp(cum)
+        t_before = jnp.exp(cum - lg)  # one exp (see forward)
+        t_after = t_before * (1.0 - alpha)
         accept = t_after >= T_EPS
-        t_before = jnp.exp(cum - lg)
         w = jnp.where(accept, alpha * t_before, 0.0)
         sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
         t_bg = jnp.exp(sum_lg)

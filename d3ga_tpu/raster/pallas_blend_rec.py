@@ -118,9 +118,13 @@ def _blend_fwd(rec, basis, tri, sx, sy, C):
     alpha = jnp.where(use, alpha, 0.0)
     lg = jnp.log1p(-alpha)
     cum = _dot_split_a(lg, tri, C_NK)                 # [P, K']
-    t_after = jnp.exp(cum)
+    # ONE exp for both transmittances: t_after = t_before * (1 - alpha)
+    # (exact to ~1 ulp since lg = log1p(-alpha); saves 131k VPU
+    # transcendentals per tile)
+    t_before = jnp.exp(cum - lg)
+    t_after = t_before * (1.0 - alpha)
     accept = t_after >= T_EPS
-    w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
+    w = jnp.where(accept, alpha * t_before, 0.0)
     t_bg = jnp.exp(
         jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
     )
@@ -184,9 +188,9 @@ def _blend_bwd(rec, g, basis, tri, sx, sy, C):
     alpha = jnp.where(use, alpha, 0.0)
     lg = jnp.log1p(-alpha)
     cum = _dot_split_a(lg, tri, C_NK)
-    t_after = jnp.exp(cum)
+    t_before = jnp.exp(cum - lg)      # one exp (see _blend_fwd)
+    t_after = t_before * (1.0 - alpha)
     accept = t_after >= T_EPS
-    t_before = jnp.exp(cum - lg)
     w = jnp.where(accept, alpha * t_before, 0.0)
     sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
     t_bg = jnp.exp(sum_lg)

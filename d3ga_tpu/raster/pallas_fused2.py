@@ -221,9 +221,10 @@ def _blend_fwd_T(recK, vmask, sx, sy, basis, triK, C):
     cum = jax.lax.dot_general(
         lg, triK, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    t_after = jnp.exp(cum)
+    t_before = jnp.exp(cum - lg)  # one exp: t_after = t_before*(1-alpha)
+    t_after = t_before * (1.0 - alpha)
     accept = t_after >= T_EPS
-    w = jnp.where(accept, alpha * jnp.exp(cum - lg), 0.0)
+    w = jnp.where(accept, alpha * t_before, 0.0)
     t_bg = jnp.exp(jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True))
     colorT = recK[6 : 6 + C]
     rgb = jax.lax.dot_general(
@@ -295,9 +296,9 @@ def _backward_kernel(
         cum = jax.lax.dot_general(
             lg, triK, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        t_after = jnp.exp(cum)
+        t_before = jnp.exp(cum - lg)  # one exp (see forward)
+        t_after = t_before * (1.0 - alpha)
         accept = t_after >= T_EPS
-        t_before = jnp.exp(cum - lg)
         w = jnp.where(accept, alpha * t_before, 0.0)
         sum_lg = jnp.sum(jnp.where(accept, lg, 0.0), axis=-1, keepdims=True)
         t_bg = jnp.exp(sum_lg)

@@ -1053,8 +1053,10 @@ def _blend_tiles(xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, tile_origi
             precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         ).reshape(lg.shape)
-        t_after = jnp.exp(cum_incl)
+        # one exp for both transmittances (t_after = t_before*(1-alpha),
+        # exact to ~1 ulp; halves the big [B,256,K] transcendental cost)
         t_before = jnp.exp(cum_incl - lg)
+        t_after = t_before * (1.0 - alpha)
         accept = t_after >= T_EPS
         w = jnp.where(accept, t_before * alpha, 0.0)
         t_bg = jnp.exp(jnp.sum(jnp.where(accept, lg, 0.0), axis=-1))
