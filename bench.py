@@ -12,7 +12,44 @@ throughput on a single modern GPU — ~100 fwd+bwd rasterizations/s at
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _wait_for_tpu(max_tries=8, probe_timeout=120, sleep_s=60):
+    """Wait out transient axon-tunnel outages before the main process
+    initializes the backend (a failed/hung init inside this process is
+    not recoverable, and the tunnel hangs rather than erroring). Probes
+    in a short-lived subprocess so only ONE process ever touches the
+    TPU at a time. Disable with D3GA_BENCH_WAIT=0."""
+    if os.environ.get("D3GA_BENCH_WAIT", "1") == "0":
+        return
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8)) @ jnp.ones((8, 8));"
+        "assert float(np.asarray(x).ravel()[0]) == 8.0"
+    )
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=probe_timeout,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i < max_tries - 1:
+            print(
+                f"bench: TPU tunnel unavailable (probe {i + 1}/{max_tries});"
+                f" retrying in {sleep_s}s",
+                file=sys.stderr,
+            )
+            time.sleep(sleep_s)
+
+
+_wait_for_tpu()
 
 import jax
 
