@@ -747,9 +747,19 @@ def rasterize_tiled_batch(
     records = jnp.concatenate(
         [proj.xy, proj.conic, proj.opacity[..., None], proj.color], axis=-1
     )
-    records = jnp.take_along_axis(records, order[..., None], axis=1)  # [B,N,R]
-    radius_s = jnp.take_along_axis(proj.radius, order, axis=1)
-    valid_s = jnp.take_along_axis(valid, order, axis=1)
+    nc = records.shape[-1]
+    aug = jnp.concatenate(
+        [
+            records,
+            proj.radius.astype(records.dtype)[..., None],
+            valid.astype(records.dtype)[..., None],
+        ],
+        axis=-1,
+    )
+    aug = jnp.take_along_axis(aug, order[..., None], axis=1)  # [B,N,R+2]
+    records = aug[..., :nc]
+    radius_s = aug[..., nc]
+    valid_s = aug[..., nc + 1] > 0
     xy_s = records[..., 0:2]
 
     rects = tile_rect(
@@ -860,11 +870,18 @@ def rasterize_tiled_fused(
     order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf), stable=True)
 
     C = proj.color.shape[-1]
-    records = jnp.concatenate(
-        [proj.xy, proj.conic, proj.opacity[:, None], proj.color], axis=-1
+    nc_rec = 6 + C
+    aug = jnp.concatenate(
+        [
+            proj.xy, proj.conic, proj.opacity[:, None], proj.color,
+            proj.radius.astype(proj.xy.dtype)[:, None],
+            valid.astype(proj.xy.dtype)[:, None],
+        ],
+        axis=-1,
     )[order]
-    radius_s = proj.radius[order]
-    valid_s = valid[order]
+    records = aug[:, :nc_rec]
+    radius_s = aug[:, nc_rec]
+    valid_s = aug[:, nc_rec + 1] > 0
     xy_s = records[:, 0:2]
     n = xy_s.shape[0]
     kb = min(block_cap, n)
@@ -1162,9 +1179,21 @@ def rasterize_tiled(
             valid_s = outs[2 + nc].astype(bool)
         else:
             order = jnp.argsort(sort_depth, stable=True)  # rank -> id
-            records = records[order]
-            radius_s = proj.radius[order]
-            valid_s = valid[order]
+            # ONE row gather reorders records+radius+valid together (radius
+            # is an int pixel count, exact in f32) — three separate gathers
+            # each pay a fixed multi-ms dispatch cost on the axon rig.
+            nc = records.shape[1]
+            aug = jnp.concatenate(
+                [
+                    records,
+                    proj.radius.astype(records.dtype)[:, None],
+                    valid.astype(records.dtype)[:, None],
+                ],
+                axis=-1,
+            )[order]
+            records = aug[:, :nc]
+            radius_s = aug[:, nc]
+            valid_s = aug[:, nc + 1] > 0
         xy_s = records[:, 0:2]
 
         rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
