@@ -49,7 +49,10 @@ def _wait_for_tpu(max_tries=8, probe_timeout=120, sleep_s=60):
             time.sleep(sleep_s)
 
 
-_wait_for_tpu()
+if __name__ == "__main__":
+    # only the CLI waits; importing bench (e.g. for build_scene) must not
+    # probe the TPU
+    _wait_for_tpu()
 
 import jax
 
