@@ -99,30 +99,37 @@ def rasterize_collective(
 
     valid = valid & (radius > 0)
     sort_depth = jnp.where(valid, depth, jnp.inf)
+    # Records packed [N, 6+C] BEFORE the depth reorder, so the reorder
+    # is ONE row gather (or one multi-payload sort) instead of six
+    # per-array gathers — gather rows carry per-row costs on TPU.
+    C0 = color.shape[-1]
+    records0 = jnp.concatenate([xy, conic, opac[:, None], color], axis=-1)
+    nc = records0.shape[-1]
     if _tiles.REORDER == "sortpayload":
-        C0 = color.shape[-1]
         outs = jax.lax.sort(
-            (sort_depth, xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1],
-             conic[:, 2], opac, radius)
-            + tuple(color[:, i] for i in range(C0))
-            + (valid.astype(jnp.int32),),
+            (sort_depth,)
+            + tuple(records0[:, i] for i in range(nc))
+            + (radius, valid.astype(jnp.int32)),
             num_keys=1,
             is_stable=True,
         )
-        xy_s = jnp.stack(outs[1:3], axis=1)
-        conic_s = jnp.stack(outs[3:6], axis=1)
-        opac_s = outs[6]
-        radius_s = outs[7]
-        color_s = jnp.stack(outs[8 : 8 + C0], axis=1)
-        valid_s = outs[8 + C0].astype(bool)
+        records = jnp.stack(outs[1 : 1 + nc], axis=1)
+        radius_s = outs[1 + nc]
+        valid_s = outs[2 + nc].astype(bool)
     else:
         order = jnp.argsort(sort_depth, stable=True)
-        xy_s = xy[order]
-        conic_s = conic[order]
-        color_s = color[order]
-        opac_s = opac[order]
-        radius_s = radius[order]
-        valid_s = valid[order]
+        aug = jnp.concatenate(
+            [
+                records0,
+                radius.astype(records0.dtype)[:, None],
+                valid.astype(records0.dtype)[:, None],
+            ],
+            axis=-1,
+        )[order]
+        records = aug[:, :nc]
+        radius_s = aug[:, nc]
+        valid_s = aug[:, nc + 1] > 0
+    xy_s = records[:, 0:2]
 
     rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)
 
@@ -157,9 +164,6 @@ def rasterize_collective(
         # are dropped at reassembly below.
         from d3ga_tpu.raster.pallas_blend_rec import blend_tiles_rec
 
-        records = jnp.concatenate(
-            [xy_s, conic_s, opac_s[:, None], color_s], axis=-1
-        )
         records_ext = jnp.concatenate(
             [records, jnp.zeros((1, records.shape[1]), records.dtype)], axis=0
         )
@@ -168,7 +172,7 @@ def rasterize_collective(
             rec_t = gather_records_dupslot(records_ext, idx, dup_q, dup * dup)
         else:
             rec_t = records_ext[idx]
-        C = color_s.shape[-1]
+        C = C0
         interp = jax.default_backend() != "tpu"
         out = blend_tiles_rec(
             rec_t, jnp.minimum(counts, max_per_tile),
@@ -178,10 +182,11 @@ def rasterize_collective(
         my_tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
     else:
         safe = jnp.where(sel_valid, ranks, 0)
-        xy_t = xy_s[safe]
-        conic_t = conic_s[safe]
-        color_t = color_s[safe]
-        opac_t = opac_s[safe]
+        rec_t = records[safe]
+        xy_t = rec_t[..., 0:2]
+        conic_t = rec_t[..., 2:5]
+        opac_t = rec_t[..., 5]
+        color_t = rec_t[..., 6 : 6 + C0]
 
         origin = jnp.stack(
             [(tile_ids % n_tiles_x) * TILE, (tile_ids // n_tiles_x) * TILE], -1
