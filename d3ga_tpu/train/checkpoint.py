@@ -95,12 +95,24 @@ def restore_checkpoint(
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
+        # Restore every leaf as HOST numpy: replaying the checkpoint's
+        # recorded device sharding fails across topologies (a TPU-written
+        # checkpoint refuses to restore on CPU and vice versa); jit puts
+        # the arrays back on device on first use.
+        as_np = lambda _: ocp.RestoreArgs(restore_type=np.ndarray)
         try:
-            bundle = ckptr.restore(orbax_path, item=bundle_like)
+            bundle = ckptr.restore(
+                orbax_path,
+                item=bundle_like,
+                restore_args=jax.tree.map(as_np, bundle_like),
+            )
         except ValueError:
             # Template mismatch (e.g. eval restores params only while
             # the checkpoint stores an optimizer state): generic restore.
-            raw = ckptr.restore(orbax_path)
+            meta = ckptr.metadata(orbax_path)
+            raw = ckptr.restore(
+                orbax_path, restore_args=jax.tree.map(as_np, meta)
+            )
             bundle = {
                 "params": raw.get("params", like_params),
                 "opt_state": like_opt_state,
