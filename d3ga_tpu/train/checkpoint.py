@@ -110,8 +110,10 @@ def restore_checkpoint(
             # Template mismatch (e.g. eval restores params only while
             # the checkpoint stores an optimizer state): generic restore.
             meta = ckptr.metadata(orbax_path)
+            # StepMetadata wraps the stored pytree in .item_metadata
+            tree = getattr(meta, "item_metadata", meta)
             raw = ckptr.restore(
-                orbax_path, restore_args=jax.tree.map(as_np, meta)
+                orbax_path, restore_args=jax.tree.map(as_np, tree)
             )
             bundle = {
                 "params": raw.get("params", like_params),
