@@ -95,6 +95,23 @@ class TestCheckpoint:
         p20, _, s20 = restore_checkpoint(run_dir, params, None)
         assert s20 == 20
 
+    def test_params_only_restore_of_full_checkpoint(self, setup, tmp_path):
+        # Eval restores with like_opt_state=None while the checkpoint
+        # stores a full optimizer state: exercises the generic-restore
+        # fallback (metadata-derived restore args; regression for the
+        # orbax StepMetadata wrapper mismatch).
+        model, params, batch, _ = setup
+        lr_tree = lr_tree_from_config(params, {})
+        tx = make_optimizer(lr_tree)
+        opt_state = tx.init(params)
+        run_dir = str(tmp_path)
+        save_checkpoint(run_dir, 7, params, opt_state)
+        p2, o2, step = restore_checkpoint(run_dir, params, None)
+        assert step == 7
+        assert o2 is None
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
 
 class TestEvaluate:
     def test_metrics_and_heatmap(self, setup):
