@@ -243,8 +243,7 @@ def make_train_step(
         )
         return total_loss(terms), (terms, aux)
 
-    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def step(params, opt_state, batch, rng, iteration):
+    def _step_body(params, opt_state, batch, rng, iteration):
         (loss, (terms, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng, iteration
         )
@@ -256,4 +255,42 @@ def make_train_step(
         metrics["raster_overflow"] = aux["raster_overflow"]
         return params, opt_state, metrics
 
+    step = jax.jit(_step_body, donate_argnums=(0, 1) if donate else ())
+    step.body = _step_body
     return step
+
+
+def make_chained_step(step, chain: int, donate: bool = True):
+    """Chain `chain` training steps into ONE jitted dispatch via a fully
+    unrolled `lax.scan` — on dispatch-bound transports (the axon tunnel
+    round-trips tens of ms per dispatch and ~3 ms per loop iteration)
+    this amortizes the fixed cost over the chain, exactly like bench.py.
+
+    `step` must come from `make_train_step` (its unjitted body is
+    attached as `step.body`). Returns
+        chained(params, opt_state, batches, rng, iterations)
+            -> (params, opt_state, rng, metrics)
+    with `batches`/`iterations` stacked on a leading `chain` axis and
+    metrics returned stacked the same way. The per-step key is drawn by
+    `rng, k = split(rng)` INSIDE the scan, so a chained run consumes the
+    IDENTICAL rng stream as `chain` sequential `step` calls that split
+    the same way; params match up to XLA fusion-order float rounding
+    (~1e-7 relative, tests/test_chain.py)."""
+    body = step.body
+
+    def scan_fn(carry, xs):
+        params, opt_state, rng = carry
+        batch, iteration = xs
+        rng, k = jax.random.split(rng)
+        params, opt_state, metrics = body(params, opt_state, batch, k, iteration)
+        return (params, opt_state, rng), metrics
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def chained(params, opt_state, batches, rng, iterations):
+        (params, opt_state, rng), metrics = jax.lax.scan(
+            scan_fn, (params, opt_state, rng), (batches, iterations),
+            length=chain, unroll=chain,
+        )
+        return params, opt_state, rng, metrics
+
+    return chained

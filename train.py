@@ -251,25 +251,79 @@ def training(config):
     rng = jax.random.PRNGKey(tcfg.get("seed", 17))
     use_shs = tcfg.get("use_shs", False)
     max_sh_degree = tcfg.get("max_sh_degree", 3)
+
+    # chain_steps > 1 runs N steps per device dispatch (lax.scan, fully
+    # unrolled) — on dispatch-bound transports this amortizes the fixed
+    # per-dispatch cost exactly like bench.py's chained scan. Chunks are
+    # cut so log/progress/ckpt boundaries, SH-degree ramps, the warmup
+    # switch and the final iteration always land on a chunk end; the rng
+    # stream is identical to the unchained loop (split inside the scan),
+    # results match up to XLA fusion-order rounding (~1e-7).
+    chain_n = int(tcfg.get("chain_steps", os.environ.get("D3GA_CHAIN", "1")))
+    chained_cache = {}
+
+    def get_chained(deg: int, length: int):
+        if (deg, length) not in chained_cache:
+            from d3ga_tpu.train.step import make_chained_step
+
+            chained_cache[(deg, length)] = make_chained_step(
+                get_step(deg), length
+            )
+        return chained_cache[(deg, length)]
+
+    def _rem(i0: int, n: int) -> int:
+        # steps from i0 until (inclusive) the next multiple of n
+        return n - ((i0 - 1) % n)
+
     t_last = time.time()
-    for iteration in range(first_iter + 1, iterations + 1):
+    iteration = first_iter + 1
+    while iteration <= iterations:
+        warmup_steps = (
+            frames.get("warmup_steps", 0) if isinstance(frames, dict) else 0
+        )
+        L = 1
+        if chain_n > 1:
+            L = min(
+                chain_n,
+                _rem(iteration, log_n),
+                _rem(iteration, progress_n),
+                _rem(iteration, ckpt_n),
+                iterations - iteration + 1,
+            )
+            if use_shs:
+                L = min(L, 1000 - (iteration % 1000))
+            if iteration <= warmup_steps:
+                L = min(L, warmup_steps - iteration + 1)
         if isinstance(frames, dict):
             src = (
-                frames["warmup"]
-                if iteration <= frames.get("warmup_steps", 0)
-                else frames["train"]
+                frames["warmup"] if iteration <= warmup_steps else frames["train"]
             )
-            batch = next(src)
         else:
-            batch = next(frames)
+            src = frames
         # active SH degree ramps +1 per 1000 iters
         # (`models/trainer.py:180-184`)
         deg = min(iteration // 1000, max_sh_degree) if use_shs else 0
-        step = get_step(deg)
-        rng, step_rng = jax.random.split(rng)
-        params, opt_state, metrics = step(
-            params, opt_state, batch, step_rng, jnp.int32(iteration)
-        )
+        if L == 1:
+            batch = next(src)
+            step = get_step(deg)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, metrics = step(
+                params, opt_state, batch, step_rng, jnp.int32(iteration)
+            )
+        else:
+            batch_list = [next(src) for _ in range(L)]
+            batch = batch_list[-1]
+            batches = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *batch_list,
+            )
+            iters_vec = jnp.arange(iteration, iteration + L, dtype=jnp.int32)
+            params, opt_state, rng, metrics = get_chained(deg, L)(
+                params, opt_state, batches, rng, iters_vec
+            )
+            metrics = {k: v[-1] for k, v in metrics.items()}
+            step_rng = rng  # progress renders only need a fresh key
+        iteration += L - 1
 
         if iteration % log_n == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
@@ -299,6 +353,8 @@ def training(config):
         if iteration % ckpt_n == 0:
             save_checkpoint(run_dir, iteration, params, opt_state)
             logger.info(f"[ITER {iteration}] checkpoint saved")
+
+        iteration += 1
 
     save_checkpoint(run_dir, iterations, params, opt_state, name="model")
     return params
