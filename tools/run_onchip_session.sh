@@ -21,4 +21,19 @@ PYTHONPATH="/root/repo:$PYTHONPATH" timeout 3000 python tools/pallas_parity.py 2
 say "variant sweep"
 bash tools/run_variant_sweep.sh /tmp/variant_sweep.log 2>&1 | tail -40 | tee -a "$LOG"
 
+say "chained-training timing (chain_steps=10 vs 1, synthetic smoke)"
+for CH in 1 10; do
+  timeout 3000 python - <<PYEOF 2>&1 | grep "iter \|it/s" | tail -2 | tee -a "$LOG"
+import sys, yaml, runpy, shutil
+cfg = yaml.safe_load(open('configs/synthetic_smoke.yml'))
+cfg['train'].update({'iterations': 100, 'log_n_steps': 50,
+                     'checkpoint_n_steps': 1000000,
+                     'run_dir': '/tmp/chain_tpu_$CH/', 'chain_steps': $CH})
+open('/tmp/chain_tpu_$CH.yml','w').write(yaml.dump(cfg))
+shutil.rmtree('/tmp/chain_tpu_$CH', ignore_errors=True)
+sys.argv = ['train.py', '/tmp/chain_tpu_$CH.yml']
+runpy.run_path('train.py', run_name='__main__')
+PYEOF
+done
+
 say "DONE"
