@@ -249,8 +249,7 @@ def make_sharded_train_step(
             check_vma=False,
         )(params, geoms, batch, rng, iteration)
 
-    @partial(jax.jit, static_argnames=(), donate_argnums=(0, 1))
-    def step(params, opt_state, batch, rng, iteration):
+    def _step_body(params, opt_state, batch, rng, iteration):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng, iteration
         )
@@ -259,6 +258,11 @@ def make_sharded_train_step(
         metrics = dict(metrics)
         metrics["total_loss"] = loss
         return params, opt_state, metrics
+
+    step = jax.jit(_step_body, donate_argnums=(0, 1))
+    # unjitted body for train.step.make_chained_step (N sharded steps
+    # per dispatch — same contract as the single-device step)
+    step.body = _step_body
 
     def shard_batch(batch):
         return {

@@ -72,3 +72,84 @@ class TestChainedStep:
                 np.testing.assert_allclose(
                     np.asarray(m_ch[k][i]), np.asarray(v), rtol=2e-4, atol=1e-5
                 )
+
+
+class TestChainedShardedStep:
+    def test_chained_sharded_runs_and_matches(self):
+        from d3ga_tpu.data.synthetic import (
+            build_synthetic_avatar,
+            checkerboard,
+            orbit_camera,
+        )
+        from d3ga_tpu.dist.mesh import make_mesh
+        from d3ga_tpu.dist.step_shard import (
+            make_sharded_train_step,
+            pad_params_for_shards,
+        )
+        from d3ga_tpu.model.avatar import init_avatar
+        from d3ga_tpu.train.optim import lr_tree_from_config, make_optimizer
+
+        mesh = make_mesh(data=2, model=4)
+        h = w = 48
+        batch_size = 2
+        model, skel, lbs_dim = build_synthetic_avatar(
+            n_garments=1, n_gaussians=64, n_frames=4, n_cameras=2, n_joints=3
+        )
+        geoms = {g.name: g.geometry for g in model.garments}
+        params0 = pad_params_for_shards(
+            init_avatar(jax.random.PRNGKey(0), model), 4
+        )
+        lr_tree = lr_tree_from_config(params0, {})
+        tx = make_optimizer(lr_tree)
+        step, shard_batch, shard_params = make_sharded_train_step(
+            model, tx, mesh, geoms, (h, w), batch_size, max_per_tile=32
+        )
+        cams = [orbit_camera(0.3 * i, w, h) for i in range(batch_size)]
+        board = checkerboard(h, w)
+
+        def mk_batch(i):
+            return shard_batch({
+                "world_view": jnp.stack([c.world_view for c in cams]),
+                "full_proj": jnp.stack([c.full_proj for c in cams]),
+                "camera_center": jnp.stack([c.camera_center for c in cams]),
+                "tanfovx": jnp.stack([c.tanfovx for c in cams]),
+                "tanfovy": jnp.stack([c.tanfovy for c in cams]),
+                "lbs": jax.random.normal(
+                    jax.random.PRNGKey(10 + i), (batch_size, lbs_dim)
+                ) * 0.1,
+                "frame_idx": jnp.arange(batch_size, dtype=jnp.int32),
+                "camera_idx": jnp.zeros(batch_size, jnp.int32),
+                "image": jnp.stack([board] * batch_size),
+                "alpha": jnp.ones((batch_size, 1, h, w)),
+                "silhouette": jnp.full((batch_size, 3, h, w), 0.5),
+            })
+
+        L = 2
+        batches = [mk_batch(i) for i in range(L)]
+
+        # sequential reference (train.py-style rng splitting)
+        rng = jax.random.PRNGKey(9)
+        p_seq = shard_params(params0)
+        o_seq = tx.init(p_seq)
+        for i, b in enumerate(batches):
+            rng, k = jax.random.split(rng)
+            p_seq, o_seq, m = step(p_seq, o_seq, b, k, jnp.int32(i))
+
+        chained = make_chained_step(step, L, donate=False)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        # the donating sequential step deletes some params0 buffers
+        # (shard_params' device_put can alias); rebuild deterministically
+        params0 = pad_params_for_shards(
+            init_avatar(jax.random.PRNGKey(0), model), 4
+        )
+        p0 = shard_params(params0)
+        p_ch, o_ch, rng_out, m_ch = chained(
+            p0, tx.init(p0), stacked, jax.random.PRNGKey(9),
+            jnp.arange(L, dtype=jnp.int32),
+        )
+        assert np.all(np.isfinite(np.asarray(m_ch["total_loss"])))
+        np.testing.assert_array_equal(np.asarray(rng_out), np.asarray(rng))
+        for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_ch)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.max(np.abs(a)) + 1e-12
+            np.testing.assert_allclose(b / scale, a / scale, atol=2e-5)
