@@ -153,3 +153,37 @@ class TestChainedShardedStep:
             a, b = np.asarray(a), np.asarray(b)
             scale = np.max(np.abs(a)) + 1e-12
             np.testing.assert_allclose(b / scale, a / scale, atol=2e-5)
+
+
+class TestPrefetcher:
+    def test_preserves_sequence(self):
+        from d3ga_tpu.data.prefetch import Prefetcher
+
+        src = [{"x": np.full((3,), i)} for i in range(20)]
+        out = list(Prefetcher(iter(src), depth=3))
+        assert len(out) == 20
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(b["x"]), src[i]["x"])
+
+    def test_propagates_errors(self):
+        from d3ga_tpu.data.prefetch import Prefetcher
+
+        def gen():
+            yield {"x": np.zeros(2)}
+            raise RuntimeError("boom")
+
+        it = Prefetcher(gen(), depth=2)
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            next(it)
+
+    def test_close_stops_thread(self):
+        import itertools
+
+        from d3ga_tpu.data.prefetch import Prefetcher
+
+        p = Prefetcher(itertools.count(), depth=2, to_device=False)
+        next(p)
+        p.close()
+        p._thread.join(timeout=5)
+        assert not p._thread.is_alive()

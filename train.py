@@ -190,6 +190,26 @@ def training(config):
             init_smplx_rh=si["rh"],
             init_smplx_th=si["th"],
         )
+
+    # background prefetch: overlap batch assembly + host->device copies
+    # with device compute (torch DataLoader workers analog,
+    # `/root/reference/train.py:161-170`). train.prefetch: 0 disables.
+    prefetch_depth = int(tcfg.get("prefetch", 2))
+    if prefetch_depth > 0:
+        from d3ga_tpu.data.prefetch import Prefetcher
+
+        if isinstance(frames, dict):
+            frames = dict(
+                frames,
+                train=Prefetcher(frames["train"], depth=prefetch_depth),
+                **(
+                    {"warmup": Prefetcher(frames["warmup"], depth=prefetch_depth)}
+                    if "warmup" in frames
+                    else {}
+                ),
+            )
+        else:
+            frames = Prefetcher(frames, depth=prefetch_depth)
     params = init_avatar(
         jax.random.PRNGKey(tcfg.get("seed", 17)), model, **init_kwargs
     )
