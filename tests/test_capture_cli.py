@@ -13,7 +13,12 @@ import pytest
 import yaml
 
 sys.path.insert(0, str(Path(__file__).parent))
-from fixtures_capture import goliath_config, make_goliath_capture
+from fixtures_capture import (
+    actorshq_config,
+    goliath_config,
+    make_actorshq_capture,
+    make_goliath_capture,
+)
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -65,3 +70,27 @@ class TestCaptureCli:
         assert (root / "run" / "errors_cam_test.txt").exists()
         orbit = list((root / "run").glob("cinema_*/cam_360/prediction/*.png"))
         assert orbit, "cam_360 produced no renders"
+
+
+class TestActorsHQCli:
+    def test_train_cli(self, tmp_path):
+        root = tmp_path
+        data_cfg = make_actorshq_capture(root / "capture")
+        assets = root / "assets"
+        assets.mkdir(parents=True, exist_ok=True)
+        cfg = actorshq_config(root / "capture", assets, data_cfg)
+        cfg["train"].update(
+            {
+                "run_dir": str(root / "run"),
+                "iterations": 3,
+                "log_n_steps": 3,
+                "checkpoint_n_steps": 3,
+                "batch_size": 1,
+                "chain_steps": 2,  # exercise chaining through the CLI too
+            }
+        )
+        cfg_path = root / "cfg.yml"
+        cfg_path.write_text(yaml.dump(cfg))
+        _run_cli("train.py", cfg_path)
+        assert list((root / "run" / "checkpoints").glob("chkpnt*"))
+        assert "total_loss" in (root / "run" / "metrics.jsonl").read_text()
