@@ -28,6 +28,10 @@ else:
 import jax.numpy as jnp
 import numpy as np
 
+from d3ga_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 H, W = 512, 512
 N_GAUSS = int(os.environ.get("SCALING_N_GAUSS", "40000"))
 MAX_PER_TILE = 128
