@@ -50,15 +50,23 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    grad_accum: int = 1,
 ):
-    """lr_tree: pytree of scalars congruent to the params tree."""
+    """lr_tree: pytree of scalars congruent to the params tree.
+
+    grad_accum > 1 averages gradients over k micro-steps before each
+    optimizer update (optax.MultiSteps) — larger effective batches
+    without the memory of rasterizing them together."""
     sched = multistep_schedule(1.0, milestones, gamma)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
         scale_by_lr_tree(lr_tree),
         optax.scale_by_schedule(lambda step: -sched(step)),
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 DEFAULT_GARMENT_LRS = {

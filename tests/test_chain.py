@@ -187,3 +187,37 @@ class TestPrefetcher:
         p.close()
         p._thread.join(timeout=5)
         assert not p._thread.is_alive()
+
+
+class TestGradAccum:
+    def test_two_microsteps_equal_mean_grad_update(self):
+        import optax
+
+        from d3ga_tpu.train.optim import make_optimizer
+
+        params = {"w": jnp.arange(4.0)}
+        lr_tree = {"w": 0.1}
+        g1 = {"w": jnp.array([1.0, -2.0, 0.5, 0.0])}
+        g2 = {"w": jnp.array([3.0, 0.0, -0.5, 1.0])}
+        gm = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+        # reference: one update with the mean gradient
+        tx_ref = make_optimizer(lr_tree)
+        s = tx_ref.init(params)
+        up, _ = tx_ref.update(gm, s, params)
+        p_ref = optax.apply_updates(params, up)
+
+        # accumulating optimizer: two micro-steps, update fires on the 2nd
+        tx = make_optimizer(lr_tree, grad_accum=2)
+        s = tx.init(params)
+        up1, s = tx.update(g1, s, params)
+        p_mid = optax.apply_updates(params, up1)
+        # first micro-step must be a no-op on params
+        np.testing.assert_array_equal(
+            np.asarray(p_mid["w"]), np.asarray(params["w"])
+        )
+        up2, s = tx.update(g2, s, p_mid)
+        p_acc = optax.apply_updates(p_mid, up2)
+        np.testing.assert_allclose(
+            np.asarray(p_acc["w"]), np.asarray(p_ref["w"]), rtol=1e-6
+        )

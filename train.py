@@ -222,6 +222,7 @@ def training(config):
         lr_tree,
         milestones=sched_cfg.get("milestones", [200_000, 350_000, 500_000]),
         gamma=sched_cfg.get("gamma", 0.33),
+        grad_accum=int(tcfg.get("grad_accum", 1)),
     )
     opt_state = tx.init(params)
 
