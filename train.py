@@ -296,9 +296,20 @@ def training(config):
         # steps from i0 until (inclusive) the next multiple of n
         return n - ((i0 - 1) % n)
 
+    # in-loop profiler capture: train.trace_at = iteration at which to
+    # start a jax.profiler trace for train.trace_steps steps, written to
+    # run_dir/traces (viewable in TensorBoard / xprof).
+    trace_at = int(tcfg.get("trace_at", 0))
+    trace_steps = int(tcfg.get("trace_steps", 5))
+    trace_active = False
+
     t_last = time.time()
     iteration = first_iter + 1
     while iteration <= iterations:
+        if trace_at and not trace_active and iteration >= trace_at:
+            jax.profiler.start_trace(os.path.join(run_dir, "traces"))
+            trace_active = True
+            trace_end = iteration + trace_steps
         warmup_steps = (
             frames.get("warmup_steps", 0) if isinstance(frames, dict) else 0
         )
@@ -374,6 +385,13 @@ def training(config):
         if iteration % ckpt_n == 0:
             save_checkpoint(run_dir, iteration, params, opt_state)
             logger.info(f"[ITER {iteration}] checkpoint saved")
+
+        if trace_active and iteration >= trace_end:
+            jax.block_until_ready(jax.tree.leaves(params)[0])
+            jax.profiler.stop_trace()
+            trace_active = False
+            trace_at = 0
+            logger.info(f"[ITER {iteration}] profiler trace written")
 
         iteration += 1
 
