@@ -21,6 +21,9 @@ PYTHONPATH="/root/repo:$PYTHONPATH" timeout 3000 python tools/pallas_parity.py 2
 say "variant sweep"
 bash tools/run_variant_sweep.sh /tmp/variant_sweep.log 2>&1 | tail -40 | tee -a "$LOG"
 
+say "end-to-end train-step bench (Goliath scale)"
+timeout 3600 python bench_train.py 2>&1 | tail -2 | tee -a "$LOG"
+
 say "chained-training timing (chain_steps=10 vs 1, synthetic smoke)"
 for CH in 1 10; do
   timeout 3000 python - <<PYEOF 2>&1 | grep "iter \|it/s" | tail -2 | tee -a "$LOG"
