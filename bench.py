@@ -108,8 +108,6 @@ def main():
     target = jax.random.uniform(jax.random.PRNGKey(1), (3, H, W))
     bg = jnp.zeros(3)
 
-    import os
-
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # batch>1 folds several frames into one rasterization (explicitly
     # batched sorts/binning + one blend over B*T tiles) — amortizes the
