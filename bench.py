@@ -56,13 +56,9 @@ if __name__ == "__main__":
 
 import jax
 
-# Persistent compilation cache: the rasterizer graphs take minutes to
-# compile through the remote-compile tunnel; cached reruns start fast.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from d3ga_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,33 @@ the prefetch thread overlaps naturally).
 
 import queue
 import threading
+import weakref
 
 import jax
+
+_DONE = object()
+
+
+def _worker(it, q, stop, to_device):
+    # module-level target: holds NO reference to the Prefetcher, so the
+    # wrapper can be garbage-collected (its finalizer stops this thread)
+    try:
+        for batch in it:
+            if stop.is_set():
+                return
+            if to_device and batch is not None:
+                batch = jax.tree.map(jax.device_put, batch)
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
+        q.put(_DONE)
+    except BaseException as e:  # re-raise in the consumer
+        q.put(e)
 
 
 class Prefetcher:
@@ -21,59 +46,45 @@ class Prefetcher:
     `jax.device_put` as they are produced.
 
     Exceptions from the source iterator are re-raised at the consuming
-    `next()` call. `close()` (or garbage collection) stops the thread;
-    StopIteration propagates once the source is exhausted.
+    `next()` call. `close()` (or garbage collection of the wrapper —
+    the worker keeps no reference to it) stops the thread and drops the
+    queued batches; StopIteration propagates once the source is
+    exhausted.
     """
 
-    _DONE = object()
-
     def __init__(self, it, depth: int = 2, to_device: bool = True):
-        self._it = iter(it)
         self._q = queue.Queue(maxsize=max(1, depth))
-        self._to_device = to_device
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread = threading.Thread(
+            target=_worker,
+            args=(iter(it), self._q, self._stop, to_device),
+            daemon=True,
+        )
+        self._finalizer = weakref.finalize(
+            self, _drain_and_stop, self._q, self._stop
+        )
         self._thread.start()
-
-    def _worker(self):
-        try:
-            for batch in self._it:
-                if self._stop.is_set():
-                    return
-                if self._to_device and batch is not None:
-                    batch = jax.tree.map(jax.device_put, batch)
-                # block while the queue is full, but wake on close()
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(batch, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-                if self._stop.is_set():
-                    return
-            self._q.put(self._DONE)
-        except BaseException as e:  # re-raise in the consumer
-            self._q.put(e)
 
     def __iter__(self):
         return self
 
     def __next__(self):
         item = self._q.get()
-        if item is self._DONE:
+        if item is _DONE:
             raise StopIteration
         if isinstance(item, BaseException):
             raise item
         return item
 
     def close(self):
-        self._stop.set()
-        # drain so a blocked worker can exit
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        self._finalizer()
 
-    def __del__(self):  # pragma: no cover - GC timing
-        self.close()
+
+def _drain_and_stop(q, stop):
+    stop.set()
+    # drain so a blocked worker can exit (and queued device batches free)
+    try:
+        while True:
+            q.get_nowait()
+    except queue.Empty:
+        pass

@@ -118,17 +118,9 @@ def rasterize_collective(
         valid_s = outs[2 + nc].astype(bool)
     else:
         order = jnp.argsort(sort_depth, stable=True)
-        aug = jnp.concatenate(
-            [
-                records0,
-                radius.astype(records0.dtype)[:, None],
-                valid.astype(records0.dtype)[:, None],
-            ],
-            axis=-1,
-        )[order]
-        records = aug[:, :nc]
-        radius_s = aug[:, nc]
-        valid_s = aug[:, nc + 1] > 0
+        records, radius_s, valid_s = _tiles.reorder_records(
+            records0, radius, valid, order
+        )
     xy_s = records[:, 0:2]
 
     rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)

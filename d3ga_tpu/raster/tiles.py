@@ -66,6 +66,27 @@ class RasterAux(NamedTuple):
     n_contrib: jnp.ndarray     # [] int32: total selected entries
 
 
+def reorder_records(records, radius, valid, order, batched=False):
+    """Depth-reorder records + radius + valid with ONE row gather
+    (three separate gathers each pay a fixed per-row cost on TPU).
+    Column contract: aug = [records | radius | valid]; radius is an int
+    pixel count, exact in f32. Returns (records_s, radius_s, valid_s)."""
+    nc = records.shape[-1]
+    aug = jnp.concatenate(
+        [
+            records,
+            radius.astype(records.dtype)[..., None],
+            valid.astype(records.dtype)[..., None],
+        ],
+        axis=-1,
+    )
+    if batched:
+        aug = jnp.take_along_axis(aug, order[..., None], axis=1)
+    else:
+        aug = aug[order]
+    return aug[..., :nc], aug[..., nc], aug[..., nc + 1] > 0
+
+
 def _refine_lists(parent_ranks, parent_packed, parent_of_child, cx0, cy0, csize, cap):
     """One funnel level: each child region selects the first-`cap`
     (rank-ascending) candidates overlapping it from its parent's list.
@@ -747,19 +768,9 @@ def rasterize_tiled_batch(
     records = jnp.concatenate(
         [proj.xy, proj.conic, proj.opacity[..., None], proj.color], axis=-1
     )
-    nc = records.shape[-1]
-    aug = jnp.concatenate(
-        [
-            records,
-            proj.radius.astype(records.dtype)[..., None],
-            valid.astype(records.dtype)[..., None],
-        ],
-        axis=-1,
+    records, radius_s, valid_s = reorder_records(
+        records, proj.radius, valid, order, batched=True
     )
-    aug = jnp.take_along_axis(aug, order[..., None], axis=1)  # [B,N,R+2]
-    records = aug[..., :nc]
-    radius_s = aug[..., nc]
-    valid_s = aug[..., nc + 1] > 0
     xy_s = records[..., 0:2]
 
     rects = tile_rect(
@@ -870,18 +881,12 @@ def rasterize_tiled_fused(
     order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf), stable=True)
 
     C = proj.color.shape[-1]
-    nc_rec = 6 + C
-    aug = jnp.concatenate(
-        [
-            proj.xy, proj.conic, proj.opacity[:, None], proj.color,
-            proj.radius.astype(proj.xy.dtype)[:, None],
-            valid.astype(proj.xy.dtype)[:, None],
-        ],
-        axis=-1,
-    )[order]
-    records = aug[:, :nc_rec]
-    radius_s = aug[:, nc_rec]
-    valid_s = aug[:, nc_rec + 1] > 0
+    records = jnp.concatenate(
+        [proj.xy, proj.conic, proj.opacity[:, None], proj.color], axis=-1
+    )
+    records, radius_s, valid_s = reorder_records(
+        records, proj.radius, valid, order
+    )
     xy_s = records[:, 0:2]
     n = xy_s.shape[0]
     kb = min(block_cap, n)
@@ -1179,21 +1184,9 @@ def rasterize_tiled(
             valid_s = outs[2 + nc].astype(bool)
         else:
             order = jnp.argsort(sort_depth, stable=True)  # rank -> id
-            # ONE row gather reorders records+radius+valid together (radius
-            # is an int pixel count, exact in f32) — three separate gathers
-            # each pay a fixed multi-ms dispatch cost on the axon rig.
-            nc = records.shape[1]
-            aug = jnp.concatenate(
-                [
-                    records,
-                    proj.radius.astype(records.dtype)[:, None],
-                    valid.astype(records.dtype)[:, None],
-                ],
-                axis=-1,
-            )[order]
-            records = aug[:, :nc]
-            radius_s = aug[:, nc]
-            valid_s = aug[:, nc + 1] > 0
+            records, radius_s, valid_s = reorder_records(
+                records, proj.radius, valid, order
+            )
         xy_s = records[:, 0:2]
 
         rects = tile_rect(xy_s, radius_s, TILE, n_tiles_x, n_tiles_y)

@@ -56,7 +56,12 @@ def make_optimizer(
 
     grad_accum > 1 averages gradients over k micro-steps before each
     optimizer update (optax.MultiSteps) — larger effective batches
-    without the memory of rasterizing them together."""
+    without the memory of rasterizing them together. Milestones are
+    given in TRAINING-ITERATION units; MultiSteps advances the inner
+    schedule once per k micro-steps, so they are rescaled here to keep
+    the decay at the configured iteration."""
+    if grad_accum > 1:
+        milestones = [max(1, m // grad_accum) for m in milestones]
     sched = multistep_schedule(1.0, milestones, gamma)
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),

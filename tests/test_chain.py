@@ -221,3 +221,35 @@ class TestGradAccum:
         np.testing.assert_allclose(
             np.asarray(p_acc["w"]), np.asarray(p_ref["w"]), rtol=1e-6
         )
+
+    def test_milestones_stay_in_iteration_units(self):
+        import optax
+
+        from d3ga_tpu.train.optim import make_optimizer
+
+        params = {"w": jnp.zeros(2)}
+        g = {"w": jnp.ones(2)}
+
+        def fired_magnitudes(tx, n_micro):
+            s = tx.init(params)
+            mags = []
+            for _ in range(n_micro):
+                up, s = tx.update(g, s, params)
+                m = float(jnp.abs(up["w"]).max())
+                if m > 0:
+                    mags.append(m)
+            return mags
+
+        # no accumulation: decay after iteration 4
+        ref = fired_magnitudes(
+            make_optimizer({"w": 1.0}, milestones=[4], gamma=0.5), 8
+        )
+        # accumulation 2: same decay point in ITERATION units (micro-steps)
+        acc = fired_magnitudes(
+            make_optimizer({"w": 1.0}, milestones=[4], gamma=0.5, grad_accum=2),
+            8,
+        )
+        # ref updates fire every iteration: 8 updates, decay from the 5th;
+        # acc fires every 2nd micro-step: 4 updates, decay from the 3rd
+        assert ref[3] / ref[4] == pytest.approx(2.0, rel=1e-5)
+        assert acc[1] / acc[2] == pytest.approx(2.0, rel=1e-5)

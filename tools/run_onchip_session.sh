@@ -16,7 +16,7 @@ say "baseline bench (champion config, waits for tunnel)"
 timeout 3600 python bench.py 2>&1 | tail -3 | tee -a "$LOG"
 
 say "pallas parity refresh"
-PYTHONPATH="/root/repo:$PYTHONPATH" timeout 3000 python tools/pallas_parity.py 2>&1 | tail -5 | tee -a "$LOG"
+PYTHONPATH="/root/repo:${PYTHONPATH:-}" timeout 3000 python tools/pallas_parity.py 2>&1 | tail -5 | tee -a "$LOG"
 
 say "variant sweep"
 bash tools/run_variant_sweep.sh /tmp/variant_sweep.log 2>&1 | tail -40 | tee -a "$LOG"

@@ -195,21 +195,27 @@ def training(config):
     # with device compute (torch DataLoader workers analog,
     # `/root/reference/train.py:161-170`). train.prefetch: 0 disables.
     prefetch_depth = int(tcfg.get("prefetch", 2))
+    prefetchers = []
     if prefetch_depth > 0:
         from d3ga_tpu.data.prefetch import Prefetcher
+
+        def _wrap(it):
+            p = Prefetcher(it, depth=prefetch_depth)
+            prefetchers.append(p)
+            return p
 
         if isinstance(frames, dict):
             frames = dict(
                 frames,
-                train=Prefetcher(frames["train"], depth=prefetch_depth),
+                train=_wrap(frames["train"]),
                 **(
-                    {"warmup": Prefetcher(frames["warmup"], depth=prefetch_depth)}
+                    {"warmup": _wrap(frames["warmup"])}
                     if "warmup" in frames
                     else {}
                 ),
             )
         else:
-            frames = Prefetcher(frames, depth=prefetch_depth)
+            frames = _wrap(frames)
     params = init_avatar(
         jax.random.PRNGKey(tcfg.get("seed", 17)), model, **init_kwargs
     )
@@ -281,6 +287,15 @@ def training(config):
     # stream is identical to the unchained loop (split inside the scan),
     # results match up to XLA fusion-order rounding (~1e-7).
     chain_n = int(tcfg.get("chain_steps", os.environ.get("D3GA_CHAIN", "1")))
+    if chain_n > 1:
+        for name, n in (("log_n_steps", log_n), ("log_progress_n_steps", progress_n),
+                        ("checkpoint_n_steps", ckpt_n)):
+            if n % chain_n:
+                logger.warning(
+                    f"chain_steps={chain_n} does not divide {name}={n}: "
+                    "boundary chunks get their own lengths, each a separate "
+                    "multi-minute XLA compile — pick a divisor to avoid this"
+                )
     chained_cache = {}
 
     def get_chained(deg: int, length: int):
@@ -394,6 +409,14 @@ def training(config):
             logger.info(f"[ITER {iteration}] profiler trace written")
 
         iteration += 1
+
+    if trace_active:
+        # trace window ran past the final iteration: close it so the
+        # trace is flushed and a later training() call can start one
+        jax.profiler.stop_trace()
+        logger.info("profiler trace closed at loop end")
+    for p in prefetchers:
+        p.close()
 
     save_checkpoint(run_dir, iterations, params, opt_state, name="model")
     return params
