@@ -94,6 +94,24 @@ def pad_params_for_shards(params, n_shards: int):
     return out
 
 
+def unpad_params_for_shards(params, model):
+    """Inverse of `pad_params_for_shards`: slice per-Gaussian leaves
+    back to each garment's true Gaussian count, so sharded-trained
+    params can be checkpointed / rendered with the unpadded geometry."""
+    n_by_garment = {
+        g.name: g.geometry.init_points.shape[0] for g in model.garments
+    }
+    out = dict(params)
+    out["garments"] = {
+        name: {
+            k: (v[: n_by_garment[name]] if k in PER_GAUSSIAN_PARAMS else v)
+            for k, v in g.items()
+        }
+        for name, g in params["garments"].items()
+    }
+    return out
+
+
 def param_specs(params, axis: str = "model"):
     specs = {}
     for top, sub in params.items():
@@ -168,6 +186,7 @@ def make_sharded_train_step(
         "tanfovx": P("data"),
         "tanfovy": P("data"),
         "lbs": P("data"),
+        "smplx_poses": P("data"),
         "frame_idx": P("data"),
         "camera_idx": P("data"),
         "image": P("data"),
@@ -196,17 +215,17 @@ def make_sharded_train_step(
                 )
                 frame = {
                     "camera": cam,
-                    "lbs": batch_l["lbs"][b],
                     "frame_idx": batch_l["frame_idx"][b],
                     "camera_idx": batch_l["camera_idx"][b],
                     "image": batch_l["image"][b],
                     "alpha": batch_l["alpha"][b],
                     "silhouette": batch_l["silhouette"][b],
                 }
-                if "boundary_fg" in batch_l:
-                    frame["boundary_fg"] = batch_l["boundary_fg"][b]
-                if "cam_rt" in batch_l:
-                    frame["cam_rt"] = batch_l["cam_rt"][b]
+                # pose conditioning: momentum "lbs" and/or SMPL-X
+                # "smplx_poses" (ActorsHQ frames carry the latter)
+                for opt in ("lbs", "smplx_poses", "boundary_fg", "cam_rt"):
+                    if opt in batch_l:
+                        frame[opt] = batch_l[opt][b]
                 frame_rng = jax.random.fold_in(rng_in, my_data * b_local + b)
                 terms, aux = render_frame(
                     params, model, frame, frame_rng,

@@ -222,6 +222,40 @@ def training(config):
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"Total number of parameters {n_params}")
 
+    # Fully-sharded training (train.sharded: {data: D, model: M}): runs
+    # the shard_map step (Gaussian-sharded geometry, collective raster,
+    # psum'd grads) over a ("data","model") device mesh. Checkpoints are
+    # saved with UNPADDED per-Gaussian leaves, so eval and single-device
+    # resume work unchanged; the optimizer state restarts on resume.
+    sh_cfg = tcfg.get("sharded") or {}
+    use_sharded = bool(sh_cfg)
+    sharded_first_iter = 0
+    if use_sharded:
+        from d3ga_tpu.dist.mesh import make_mesh
+        from d3ga_tpu.dist.step_shard import (
+            make_sharded_train_step,
+            pad_params_for_shards,
+            unpad_params_for_shards,
+        )
+
+        data_n = int(sh_cfg.get("data", 1))
+        model_n = int(
+            sh_cfg.get("model", max(1, len(jax.devices()) // data_n))
+        )
+        mesh = make_mesh(data=data_n, model=model_n)
+        batch_size = int(tcfg.get("batch_size", data_n))
+        assert batch_size % data_n == 0, (batch_size, data_n)
+        # restore BEFORE padding (checkpoints hold unpadded params)
+        params, _, sharded_first_iter = restore_checkpoint(
+            run_dir, params, None
+        )
+        params = pad_params_for_shards(params, model_n)
+        geoms = {g.name: g.geometry for g in model.garments}
+        logger.info(
+            f"sharded training on mesh data={data_n} x model={model_n}, "
+            f"batch_size={batch_size}"
+        )
+
     lr_tree = lr_tree_from_config(params, tcfg)
     sched_cfg = tcfg.get("lr_scheduler", {})
     tx = make_optimizer(
@@ -248,21 +282,60 @@ def training(config):
         enable_vgg_from=tcfg.get("enable_vgg_from", 60_000),
     )
     step_cache = {}
+    shard_fns = {}
 
-    def get_step(sh_degree: int):
+    def get_step(sh_degree: int, image_hw=None):
         if sh_degree not in step_cache:
-            step_cache[sh_degree] = make_train_step(
-                model,
-                tx,
-                max_per_tile=tcfg.get("max_per_tile", 256),
-                detach_silhouette=tuple(config.get("detach_silhouette", ())),
-                vgg_params=vgg_params,
-                loss_weights=lw,
-                sh_degree=sh_degree,
-            )
+            if use_sharded:
+                step, shard_batch, shard_params = make_sharded_train_step(
+                    model, tx, mesh, geoms, image_hw, batch_size,
+                    max_per_tile=tcfg.get("max_per_tile", 256),
+                    loss_weights=lw,
+                    detach_silhouette=tuple(config.get("detach_silhouette", ())),
+                    vgg_params=vgg_params,
+                    sh_degree=sh_degree,
+                )
+                shard_fns.setdefault("batch", shard_batch)
+                shard_fns.setdefault("params", shard_params)
+                step_cache[sh_degree] = step
+            else:
+                step_cache[sh_degree] = make_train_step(
+                    model,
+                    tx,
+                    max_per_tile=tcfg.get("max_per_tile", 256),
+                    detach_silhouette=tuple(config.get("detach_silhouette", ())),
+                    vgg_params=vgg_params,
+                    loss_weights=lw,
+                    sh_degree=sh_degree,
+                )
         return step_cache[sh_degree]
 
-    params, opt_state, first_iter = restore_checkpoint(run_dir, params, opt_state)
+    def flatten_samples(samples):
+        """Per-frame sample dicts -> the sharded step's stacked batch."""
+        cams = [s["camera"] for s in samples]
+        flat = {
+            "world_view": jnp.stack([c.world_view for c in cams]),
+            "full_proj": jnp.stack([c.full_proj for c in cams]),
+            "camera_center": jnp.stack([c.camera_center for c in cams]),
+            "tanfovx": jnp.stack([jnp.asarray(c.tanfovx) for c in cams]),
+            "tanfovy": jnp.stack([jnp.asarray(c.tanfovy) for c in cams]),
+        }
+        for k in ("frame_idx", "camera_idx", "image", "alpha", "silhouette",
+                  "lbs", "smplx_poses", "boundary_fg", "cam_rt"):
+            if k in samples[0]:
+                flat[k] = jnp.stack([jnp.asarray(s[k]) for s in samples])
+        return flat
+
+    def host_params(p):
+        """Checkpoint/render view: unpadded per-Gaussian leaves."""
+        return unpad_params_for_shards(p, model) if use_sharded else p
+
+    if use_sharded:
+        first_iter = sharded_first_iter  # params restored pre-padding
+    else:
+        params, opt_state, first_iter = restore_checkpoint(
+            run_dir, params, opt_state
+        )
     iterations = tcfg.get("iterations", 400_000)
     ckpt_n = tcfg.get("checkpoint_n_steps", 20_000)
     log_n = tcfg.get("log_n_steps", 50)
@@ -350,19 +423,37 @@ def training(config):
         # active SH degree ramps +1 per 1000 iters
         # (`models/trainer.py:180-184`)
         deg = min(iteration // 1000, max_sh_degree) if use_shs else 0
+
+        def draw():
+            """One optimizer step's batch: (step input, last raw sample)."""
+            if use_sharded:
+                samples = [next(src) for _ in range(batch_size)]
+                flat = flatten_samples(samples)
+                step = get_step(deg, image_hw=flat["image"].shape[-2:])
+                return shard_fns["batch"](flat), samples[-1], step
+            b = next(src)
+            return b, b, get_step(deg)
+
         if L == 1:
-            batch = next(src)
-            step = get_step(deg)
+            batch, last_sample, step = draw()
+            if use_sharded and not shard_fns.get("placed"):
+                params = shard_fns["params"](params)
+                opt_state = tx.init(params)
+                shard_fns["placed"] = True
             rng, step_rng = jax.random.split(rng)
             params, opt_state, metrics = step(
                 params, opt_state, batch, step_rng, jnp.int32(iteration)
             )
         else:
-            batch_list = [next(src) for _ in range(L)]
-            batch = batch_list[-1]
+            drawn = [draw() for _ in range(L)]
+            if use_sharded and not shard_fns.get("placed"):
+                params = shard_fns["params"](params)
+                opt_state = tx.init(params)
+                shard_fns["placed"] = True
+            last_sample = drawn[-1][1]
             batches = jax.tree.map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                *batch_list,
+                *[d[0] for d in drawn],
             )
             iters_vec = jnp.arange(iteration, iteration + L, dtype=jnp.int32)
             params, opt_state, rng, metrics = get_chained(deg, L)(
@@ -385,12 +476,14 @@ def training(config):
 
         if iteration % progress_n == 0:
             _, aux = render_frame(
-                params, model, batch, step_rng, training=False,
+                host_params(params), model, last_sample, step_rng,
+                training=False,
                 max_per_tile=tcfg.get("max_per_tile", 256),
             )
             write_progress_grid(
                 run_dir, iteration,
-                batch.get("frame_idx", 0), str(batch.get("camera_idx", 0)),
+                last_sample.get("frame_idx", 0),
+                str(last_sample.get("camera_idx", 0)),
                 aux["pred_image"], aux["gt_image"],
                 pred_sil=aux.get("pred_silhouette"),
                 gt_sil=aux.get("gt_silhouette"),
@@ -398,7 +491,10 @@ def training(config):
             )
 
         if iteration % ckpt_n == 0:
-            save_checkpoint(run_dir, iteration, params, opt_state)
+            save_checkpoint(
+                run_dir, iteration, host_params(params),
+                None if use_sharded else opt_state,
+            )
             logger.info(f"[ITER {iteration}] checkpoint saved")
 
         if trace_active and iteration >= trace_end:
@@ -418,8 +514,11 @@ def training(config):
     for p in prefetchers:
         p.close()
 
-    save_checkpoint(run_dir, iterations, params, opt_state, name="model")
-    return params
+    save_checkpoint(
+        run_dir, iterations, host_params(params),
+        None if use_sharded else opt_state, name="model",
+    )
+    return host_params(params)
 
 
 def build_capture(config):
