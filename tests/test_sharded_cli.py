@@ -51,3 +51,30 @@ class TestShardedCli:
         # the unpadded checkpoint must restore in single-device eval
         _run_cli("test.py", cfg_path)
         assert (root / "run" / "errors_cam_test.txt").exists()
+
+
+class TestShardedCaptureCli:
+    def test_actorshq_sharded_train(self, tmp_path):
+        # exercises the smplx_poses passthrough + capture batcher through
+        # the shard_map step
+        sys.path.insert(0, str(Path(__file__).parent))
+        from fixtures_capture import actorshq_config, make_actorshq_capture
+
+        data_cfg = make_actorshq_capture(tmp_path / "capture")
+        assets = tmp_path / "assets"
+        assets.mkdir(parents=True, exist_ok=True)
+        cfg = actorshq_config(tmp_path / "capture", assets, data_cfg)
+        cfg["train"].update(
+            {
+                "run_dir": str(tmp_path / "run"),
+                "iterations": 2,
+                "log_n_steps": 2,
+                "checkpoint_n_steps": 2,
+                "batch_size": 2,
+                "sharded": {"data": 2, "model": 4},
+            }
+        )
+        p = tmp_path / "cfg.yml"
+        p.write_text(yaml.dump(cfg))
+        _run_cli("train.py", p)
+        assert list((tmp_path / "run" / "checkpoints").glob("chkpnt*"))
