@@ -573,11 +573,21 @@ def build_capture_training(config: Dict, eval: bool = False):
 
         frames = ds.get_frame_list()
         rng = np.random.default_rng(42)
+        strikes = 0
         while True:
+            # reference's empty-batch strike limit
+            # (`/root/reference/train.py:145-150`): 20 consecutive bad
+            # samples means the data path is wrong, not unlucky
+            if strikes > 20:
+                raise RuntimeError(
+                    "over 20 consecutive unloadable/empty samples — "
+                    "check the capture paths in the config"
+                )
             fi = int(rng.integers(len(frames)))
             ci = int(rng.integers(len(ds.cameras)))
             sample = ds.get(frames[fi], ds.cameras[ci])
             if sample is None:
+                strikes += 1
                 continue
             frame = batcher.process_frame(
                 sample["image"], sample["K"], sample["Rt"],
@@ -591,7 +601,9 @@ def build_capture_training(config: Dict, eval: bool = False):
                 face_kpt=sample.get("face_kpt"),
             )
             if frame is None:
+                strikes += 1
                 continue
+            strikes = 0
             camera = batcher.make_camera(frame)
             out = {
                 "camera": camera,
@@ -640,10 +652,17 @@ def _actorshq_frame_iter(config, ds, body, model):
         import jax
 
         rng = np.random.default_rng(42)
+        strikes = 0
         while True:
+            if strikes > 20:  # `/root/reference/train.py:145-150`
+                raise RuntimeError(
+                    "over 20 consecutive unloadable/empty samples — "
+                    "check the capture paths in the config"
+                )
             idx = int(rng.integers(len(ds)))
             sample = ds[idx]
             if sample is None:
+                strikes += 1
                 continue
             # camera into body frame via Rh/Th (`smplman.py:201-217`)
             c2w = np.asarray(
@@ -663,7 +682,9 @@ def _actorshq_frame_iter(config, ds, body, model):
                 boundary_fg=sample["boundary_fg"],
             )
             if frame is None:
+                strikes += 1
                 continue
+            strikes = 0
             camera = batcher.make_camera(frame)
             yield {
                 "camera": camera,
