@@ -215,25 +215,45 @@ def _to44(Rt):
     return M
 
 
+def static_canvas(Ks, W: int, H: int):
+    """ONE static render canvas for a whole capture: the max
+    principal-point-centered canvas over the cameras' intrinsics at
+    image size (W, H). Every frame pads to this via `pad_frame_to`, so
+    TPU training sees a single static shape (one compile) instead of a
+    per-camera canvas zoo."""
+    rw = rh = 0
+    for K in Ks:
+        _, w, h = crop_params_from_intrinsics(np.asarray(K), W, H)
+        rw, rh = max(rw, w), max(rh, h)
+    return rw, rh
+
+
+def place_on_canvas(img, crop, render_w: int, render_h: int, fill=0.0):
+    """Place a [C, H, W] image-space array onto the (render_w, render_h)
+    canvas, aligned the way `paste` crops (`/root/reference/
+    renderer.py:36-47` inverted): paste keeps [:W] when left>right else
+    [-W:]."""
+    left_w, right_w, top_h, bottom_h, W, H = [int(v) for v in crop]
+    C = img.shape[0]
+    out = np.full((C, render_h, render_w), fill, img.dtype)
+    x0 = 0 if left_w > right_w else render_w - W
+    y0 = 0 if top_h > bottom_h else render_h - H
+    out[:, y0 : y0 + H, x0 : x0 + W] = img
+    return out
+
+
 def pad_frame_to(frame: Dict, render_w: int, render_h: int) -> Dict:
     """Pad a frame's image-space targets so the *render* canvas has the
     uniform static size (render_w, render_h). The render is produced on
     the padded canvas and `paste`d (cropped) back; for batched TPU
-    training we instead pad the GT onto the same canvas, aligned the way
-    paste crops (`/root/reference/renderer.py:36-47` inverted)."""
+    training we instead pad the GT onto the same canvas."""
     crop = frame["crop"]
     left_w, right_w, top_h, bottom_h, W, H = [int(v) for v in crop]
     w, h = frame["width"], frame["height"]
     assert render_w >= w and render_h >= h
 
     def place(img, fill=0.0):
-        C = img.shape[0]
-        out = np.full((C, render_h, render_w), fill, img.dtype)
-        # paste keeps [:W] when left>right else [-W:]; invert that here.
-        x0 = 0 if left_w > right_w else render_w - W
-        y0 = 0 if top_h > bottom_h else render_h - H
-        out[:, y0 : y0 + H, x0 : x0 + W] = img
-        return out
+        return place_on_canvas(img, crop, render_w, render_h, fill)
 
     out = dict(frame)
     for key in ("image", "orig_image", "alpha", "silhouette", "boundary_fg"):

@@ -27,6 +27,27 @@ import numpy as np
 from d3ga_tpu.utils.log import logger
 
 
+class _StrikeCounter:
+    """Reference's empty-batch strike limit
+    (`/root/reference/train.py:145-150`): 20 consecutive unloadable/
+    empty samples means the data path is wrong, not unlucky."""
+
+    def __init__(self, limit: int = 20):
+        self.n = 0
+        self.limit = limit
+
+    def bad(self):
+        self.n += 1
+        if self.n > self.limit:
+            raise RuntimeError(
+                f"over {self.limit} consecutive unloadable/empty samples"
+                " — check the capture paths in the config"
+            )
+
+    def good(self):
+        self.n = 0
+
+
 def _cache(path, builder):
     if os.path.exists(path):
         with np.load(path, allow_pickle=False) as z:
@@ -280,7 +301,15 @@ def load_or_build_face_labels(config, ds, body, body_faces, cache_dir):
             continue
         camera = batcher.make_camera(frame)
         verts = np.asarray(body.get(jnp.asarray(sample["lbs_motion"])[None]))[0]
-        seg.add_frame(verts, body_faces, camera, np.asarray(sample["seg_part"][0]))
+        # the camera's canvas can exceed the image (off-center principal
+        # point): place the label map on the canvas the render uses
+        from d3ga_tpu.data.batcher import place_on_canvas
+
+        seg_canvas = place_on_canvas(
+            np.asarray(sample["seg_part"][0], np.float32)[None],
+            frame["crop"], frame["width"], frame["height"],
+        )[0].astype(np.int32)
+        seg.add_frame(verts, body_faces, camera, seg_canvas)
     labels = seg.run(body_faces)
     os.makedirs(cache_dir, exist_ok=True)
     np.save(path, labels)
@@ -502,7 +531,12 @@ def build_face_labels_smplx(ds, body, star_verts, body_faces, cache_dir):
             w2c[:3, :3].T, w2c[:3, 3],
             focal2fov(K[0, 0], w), focal2fov(K[1, 1], h), w, h,
         )
-        seg.add_frame(verts, body_faces, cam, sample["seg_part"][0])
+        from d3ga_tpu.data.batcher import place_on_canvas
+
+        seg_canvas = place_on_canvas(
+            np.asarray(sample["seg_part"][0], np.float32)[None], crop, w, h
+        )[0].astype(np.int32)
+        seg.add_frame(verts, body_faces, cam, seg_canvas)
     labels = seg.run(body_faces)
     os.makedirs(cache_dir, exist_ok=True)
     np.save(path, labels)
@@ -571,23 +605,18 @@ def build_capture_training(config: Dict, eval: bool = False):
     def frame_iter():
         import jax
 
+        from d3ga_tpu.data.batcher import pad_frame_to, static_canvas
+
         frames = ds.get_frame_list()
         rng = np.random.default_rng(42)
-        strikes = 0
+        strikes = _StrikeCounter()
+        canvas = None  # (rw, rh): computed from the first good image
         while True:
-            # reference's empty-batch strike limit
-            # (`/root/reference/train.py:145-150`): 20 consecutive bad
-            # samples means the data path is wrong, not unlucky
-            if strikes > 20:
-                raise RuntimeError(
-                    "over 20 consecutive unloadable/empty samples — "
-                    "check the capture paths in the config"
-                )
             fi = int(rng.integers(len(frames)))
             ci = int(rng.integers(len(ds.cameras)))
             sample = ds.get(frames[fi], ds.cameras[ci])
             if sample is None:
-                strikes += 1
+                strikes.bad()
                 continue
             frame = batcher.process_frame(
                 sample["image"], sample["K"], sample["Rt"],
@@ -601,9 +630,19 @@ def build_capture_training(config: Dict, eval: bool = False):
                 face_kpt=sample.get("face_kpt"),
             )
             if frame is None:
-                strikes += 1
+                strikes.bad()
                 continue
-            strikes = 0
+            strikes.good()
+            if canvas is None:
+                # ONE static canvas for the capture (all images share a
+                # resolution; per-camera principal points vary): max
+                # over every camera's crop geometry
+                H_img, W_img = sample["image"].shape[-2:]
+                canvas = static_canvas(
+                    (ds.get_camera_parameters(c)["K"] for c in ds.cameras),
+                    W_img, H_img,
+                )
+            frame = pad_frame_to(frame, *canvas)
             camera = batcher.make_camera(frame)
             out = {
                 "camera": camera,
@@ -613,6 +652,7 @@ def build_capture_training(config: Dict, eval: bool = False):
                 "image": jnp.asarray(frame["image"]),
                 "alpha": jnp.asarray(frame["alpha"]),
                 "silhouette": jnp.asarray(frame["silhouette"]),
+                "pixel_valid": jnp.asarray(frame["pixel_valid"]),
                 "crop": frame["crop"],
             }
             if use_face and "face_kpt" in frame:
@@ -651,18 +691,16 @@ def _actorshq_frame_iter(config, ds, body, model):
     def gen():
         import jax
 
+        from d3ga_tpu.data.batcher import pad_frame_to, static_canvas
+
         rng = np.random.default_rng(42)
-        strikes = 0
+        strikes = _StrikeCounter()
+        canvas = None
         while True:
-            if strikes > 20:  # `/root/reference/train.py:145-150`
-                raise RuntimeError(
-                    "over 20 consecutive unloadable/empty samples — "
-                    "check the capture paths in the config"
-                )
             idx = int(rng.integers(len(ds)))
             sample = ds[idx]
             if sample is None:
-                strikes += 1
+                strikes.bad()
                 continue
             # camera into body frame via Rh/Th (`smplman.py:201-217`)
             c2w = np.asarray(
@@ -682,9 +720,15 @@ def _actorshq_frame_iter(config, ds, body, model):
                 boundary_fg=sample["boundary_fg"],
             )
             if frame is None:
-                strikes += 1
+                strikes.bad()
                 continue
-            strikes = 0
+            strikes.good()
+            if canvas is None:
+                H_img, W_img = sample["image"].shape[-2:]
+                canvas = static_canvas(
+                    (c["K"] for c in ds.cameras.values()), W_img, H_img
+                )
+            frame = pad_frame_to(frame, *canvas)
             camera = batcher.make_camera(frame)
             yield {
                 "camera": camera,
@@ -699,6 +743,7 @@ def _actorshq_frame_iter(config, ds, body, model):
                 "alpha": jnp.asarray(frame["alpha"]),
                 "silhouette": jnp.asarray(frame["silhouette"]),
                 "boundary_fg": jnp.asarray(frame["boundary_fg"]),
+                "pixel_valid": jnp.asarray(frame["pixel_valid"]),
                 "crop": frame["crop"],
             }
 

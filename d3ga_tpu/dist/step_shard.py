@@ -179,22 +179,6 @@ def make_sharded_train_step(
 
     geoms = {k: pad_geometry_for_shards(g, m) for k, g in geoms.items()}
 
-    batch_spec = {
-        "world_view": P("data"),
-        "full_proj": P("data"),
-        "camera_center": P("data"),
-        "tanfovx": P("data"),
-        "tanfovy": P("data"),
-        "lbs": P("data"),
-        "smplx_poses": P("data"),
-        "frame_idx": P("data"),
-        "camera_idx": P("data"),
-        "image": P("data"),
-        "alpha": P("data"),
-        "silhouette": P("data"),
-        "boundary_fg": P("data"),  # optional; dropped if absent
-    }
-
     raster = partial(rasterize_collective, axis="model", n_shards=m)
 
     def loss_fn(params, batch, rng, iteration):
@@ -222,8 +206,10 @@ def make_sharded_train_step(
                     "silhouette": batch_l["silhouette"][b],
                 }
                 # pose conditioning: momentum "lbs" and/or SMPL-X
-                # "smplx_poses" (ActorsHQ frames carry the latter)
-                for opt in ("lbs", "smplx_poses", "boundary_fg", "cam_rt"):
+                # "smplx_poses" (ActorsHQ frames carry the latter);
+                # canvas-pad masks and face keypoints ride along too
+                for opt in ("lbs", "smplx_poses", "boundary_fg", "cam_rt",
+                            "pixel_valid", "face_kpt_canonical"):
                     if opt in batch_l:
                         frame[opt] = batch_l[opt][b]
                 frame_rng = jax.random.fold_in(rng_in, my_data * b_local + b)
@@ -285,7 +271,8 @@ def make_sharded_train_step(
 
     def shard_batch(batch):
         return {
-            k: jax.device_put(v, NamedSharding(mesh, batch_spec.get(k, P("data"))))
+            # every batch leaf is frame-stacked -> "data"-sharded
+            k: jax.device_put(v, NamedSharding(mesh, P("data")))
             for k, v in batch.items()
         }
 

@@ -171,11 +171,26 @@ def render_frame(
         gt_image = gt_image * b + (1.0 - b) * bg[:, None, None]
         gt_sil = gt_sil * b
 
+    # Canvas padding (`pad_frame_to`): frames padded to the capture's
+    # static render canvas carry a pixel_valid mask. Padded pixels are
+    # zeroed on BOTH sides (the reference instead crops the render back
+    # to the image — `renderer.py:36-47` paste — so they contribute no
+    # loss there either) and the means are rescaled to the real-pixel
+    # count so loss magnitudes match the unpadded/reference setup.
+    pix_scale = 1.0
+    if "pixel_valid" in batch:
+        m = batch["pixel_valid"]
+        pred_image = pred_image * m
+        gt_image = gt_image * m
+        pred_sil = pred_sil * m
+        gt_sil = gt_sil * m
+        pix_scale = m.size / jnp.maximum(jnp.sum(m), 1.0)
+
     lw = loss_weights
-    rgb_l1 = l1_loss(pred_image, gt_image)
+    rgb_l1 = l1_loss(pred_image, gt_image) * pix_scale
     rgb_ssim = ssim(pred_image, gt_image)
     color = (1.0 - lw.lambda_dssim) * rgb_l1 + lw.lambda_dssim * (1.0 - rgb_ssim)
-    sil_l1 = l1_loss(pred_sil, gt_sil)
+    sil_l1 = l1_loss(pred_sil, gt_sil) * pix_scale
 
     code_reg = jnp.mean(pkg["frame_encoding"] ** 2) * 0.001
     if pkg.get("optimizable_poses") is not None:
@@ -202,7 +217,12 @@ def render_frame(
         "pred_silhouette": pred_sil,
         "gt_silhouette": gt_sil,
         "raster_overflow": aux_rgb.overflow,
-        "psnr": 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.mean((pred_image - gt_image) ** 2) + 1e-12)),
+        "psnr": 20.0 * jnp.log10(
+            1.0
+            / jnp.sqrt(
+                jnp.mean((pred_image - gt_image) ** 2) * pix_scale + 1e-12
+            )
+        ),
     }
     return terms, aux
 

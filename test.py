@@ -148,7 +148,17 @@ def evaluate(config, iteration=None):
         )
         pred = jnp.clip(aux["pred_image"], 0, 1)
         gt = jnp.clip(aux["gt_image"], 0, 1)
-        metrics = {"ssim": ssim_fn(pred, gt), "psnr": psnr_fn(pred, gt)}
+        if "pixel_valid" in batch:
+            # canvas-padded capture frames: count only real pixels in
+            # PSNR (padded zeros match exactly and would inflate it);
+            # SSIM keeps the masked canvas (thin-border effect only)
+            m = batch["pixel_valid"]
+            scale = m.size / jnp.maximum(jnp.sum(m), 1.0)
+            mse = jnp.mean((pred - gt) ** 2) * scale
+            psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-12))
+        else:
+            psnr = psnr_fn(pred, gt)
+        metrics = {"ssim": ssim_fn(pred, gt), "psnr": psnr}
         return pred, gt, compute_heatmap(gt, pred), metrics
 
     pool = ThreadPoolExecutor(max_workers=8)

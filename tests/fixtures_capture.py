@@ -118,8 +118,10 @@ def make_goliath_capture(root: Path, with_keypoints=True):
     # --- calibration (stored K is for the ds=1 resolution = 4x stored) ---
     krt = []
     for i, cam in enumerate(GOLIATH_CAMERAS):
-        # final (ds=4) intrinsics for the 32x24 render canvas
-        K4 = np.array([[40.0, 0, 16.6], [0, 40.0, 12.4], [0, 0, 1]])
+        # final (ds=4) intrinsics; camera 1 gets an OFF-CENTER principal
+        # point so its render canvas (36x24) exceeds the image (32x24) —
+        # stresses the pad_frame_to / pixel_valid path end-to-end
+        K4 = np.array([[40.0, 0, 16.6 + 1.7 * i], [0, 40.0, 12.4], [0, 0, 1]])
         K = K4.copy()
         K[:2, :2] *= 4
         K[:2, 2] = (K4[:2, 2] + 0.5) * 4 - 0.5
@@ -342,7 +344,8 @@ def make_actorshq_capture(root: Path):
             [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]]
         )
         T = np.array([[0.0], [0.0], [2.5]])
-        K = np.array([[35.0, 0, 16.4], [0, 35.0, 12.6], [0, 0, 1.0]])
+        # Cam02 off-center: canvas 36x24 > image 32x24 (pad path)
+        K = np.array([[35.0, 0, 16.4 + 1.8 * i], [0, 35.0, 12.6], [0, 0, 1.0]])
         extri += _opencv_matrix_yaml(f"Rot_{cam}", R)
         extri += _opencv_matrix_yaml(f"T_{cam}", T)
         intri += _opencv_matrix_yaml(f"K_{cam}", K)

@@ -264,7 +264,9 @@ def training(config):
         gamma=sched_cfg.get("gamma", 0.33),
         grad_accum=int(tcfg.get("grad_accum", 1)),
     )
-    opt_state = tx.init(params)
+    # sharded mode initializes the optimizer on the PLACED params at the
+    # first step (a full init here would be dead allocation)
+    opt_state = None if use_sharded else tx.init(params)
 
     vgg_params = None
     if tcfg.get("enable_vgg_from", 0) > 0:
@@ -285,7 +287,10 @@ def training(config):
     shard_fns = {}
 
     def get_step(sh_degree: int, image_hw=None):
-        if sh_degree not in step_cache:
+        if use_sharded and image_hw is None:
+            image_hw = shard_fns.get("hw")  # most recent batch's canvas
+        key = (sh_degree, image_hw) if use_sharded else sh_degree
+        if key not in step_cache:
             if use_sharded:
                 step, shard_batch, shard_params = make_sharded_train_step(
                     model, tx, mesh, geoms, image_hw, batch_size,
@@ -297,9 +302,9 @@ def training(config):
                 )
                 shard_fns.setdefault("batch", shard_batch)
                 shard_fns.setdefault("params", shard_params)
-                step_cache[sh_degree] = step
+                step_cache[key] = step
             else:
-                step_cache[sh_degree] = make_train_step(
+                step_cache[key] = make_train_step(
                     model,
                     tx,
                     max_per_tile=tcfg.get("max_per_tile", 256),
@@ -308,7 +313,7 @@ def training(config):
                     loss_weights=lw,
                     sh_degree=sh_degree,
                 )
-        return step_cache[sh_degree]
+        return step_cache[key]
 
     def flatten_samples(samples):
         """Per-frame sample dicts -> the sharded step's stacked batch."""
@@ -321,7 +326,8 @@ def training(config):
             "tanfovy": jnp.stack([jnp.asarray(c.tanfovy) for c in cams]),
         }
         for k in ("frame_idx", "camera_idx", "image", "alpha", "silhouette",
-                  "lbs", "smplx_poses", "boundary_fg", "cam_rt"):
+                  "lbs", "smplx_poses", "boundary_fg", "cam_rt",
+                  "pixel_valid", "face_kpt_canonical"):
             if k in samples[0]:
                 flat[k] = jnp.stack([jnp.asarray(s[k]) for s in samples])
         return flat
@@ -425,31 +431,34 @@ def training(config):
         deg = min(iteration // 1000, max_sh_degree) if use_shs else 0
 
         def draw():
-            """One optimizer step's batch: (step input, last raw sample)."""
+            """One optimizer step's batch: (step input, last raw sample,
+            step fn). First sharded draw also places params/opt on the
+            mesh (the step factory must exist first for shard_params)."""
+            nonlocal params, opt_state
             if use_sharded:
                 samples = [next(src) for _ in range(batch_size)]
                 flat = flatten_samples(samples)
-                step = get_step(deg, image_hw=flat["image"].shape[-2:])
+                # render canvas = the camera's static dims (equals the
+                # padded image shape for capture frames)
+                cam0 = samples[0]["camera"]
+                shard_fns["hw"] = (cam0.height, cam0.width)
+                step = get_step(deg, image_hw=shard_fns["hw"])
+                if not shard_fns.get("placed"):
+                    params = shard_fns["params"](params)
+                    opt_state = tx.init(params)
+                    shard_fns["placed"] = True
                 return shard_fns["batch"](flat), samples[-1], step
             b = next(src)
             return b, b, get_step(deg)
 
         if L == 1:
             batch, last_sample, step = draw()
-            if use_sharded and not shard_fns.get("placed"):
-                params = shard_fns["params"](params)
-                opt_state = tx.init(params)
-                shard_fns["placed"] = True
             rng, step_rng = jax.random.split(rng)
             params, opt_state, metrics = step(
                 params, opt_state, batch, step_rng, jnp.int32(iteration)
             )
         else:
             drawn = [draw() for _ in range(L)]
-            if use_sharded and not shard_fns.get("placed"):
-                params = shard_fns["params"](params)
-                opt_state = tx.init(params)
-                shard_fns["placed"] = True
             last_sample = drawn[-1][1]
             batches = jax.tree.map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
