@@ -230,14 +230,19 @@ def static_canvas(Ks, W: int, H: int):
 
 def place_on_canvas(img, crop, render_w: int, render_h: int, fill=0.0):
     """Place a [C, H, W] image-space array onto the (render_w, render_h)
-    canvas, aligned the way `paste` crops (`/root/reference/
-    renderer.py:36-47` inverted): paste keeps [:W] when left>right else
-    [-W:]."""
+    canvas so the PRINCIPAL POINT lands at the canvas center — the
+    camera axis pierces the center, and `pad_frame_to` widens the FoV
+    symmetrically about it. x0 = render_w//2 - left_w reduces to the
+    reference's paste inversion (`/root/reference/renderer.py:36-47`:
+    keep [:W] when left>right else [-W:]) when render == the frame's own
+    2*max(left,right) canvas, and stays centered when padding further to
+    a capture-wide static canvas."""
     left_w, right_w, top_h, bottom_h, W, H = [int(v) for v in crop]
     C = img.shape[0]
     out = np.full((C, render_h, render_w), fill, img.dtype)
-    x0 = 0 if left_w > right_w else render_w - W
-    y0 = 0 if top_h > bottom_h else render_h - H
+    x0 = render_w // 2 - left_w
+    y0 = render_h // 2 - top_h
+    assert 0 <= x0 and x0 + W <= render_w and 0 <= y0 and y0 + H <= render_h
     out[:, y0 : y0 + H, x0 : x0 + W] = img
     return out
 

@@ -89,6 +89,20 @@ class TestBatcher:
         rec = paste(padded["image"], frame["crop"])
         np.testing.assert_allclose(np.asarray(rec), frame["image"], atol=1e-6)
 
+    def test_pad_beyond_canvas_keeps_principal_point_centered(self):
+        from d3ga_tpu.data.batcher import place_on_canvas
+
+        H, W = 40, 32
+        cx, cy = 10, 25
+        crop = np.array([cx, W - cx, cy, H - cy, W, H])
+        # delta at the principal point must land at the canvas center
+        img = np.zeros((1, H, W), np.float32)
+        img[0, cy, cx] = 1.0
+        for rw, rh in [(2 * max(cx, W - cx), 2 * max(cy, H - cy)), (60, 64)]:
+            out = place_on_canvas(img, crop, rw, rh)
+            yx = np.unravel_index(np.argmax(out[0]), out[0].shape)
+            assert yx == (rh // 2, rw // 2), (rw, rh, yx)
+
 
 class TestPly:
     def test_roundtrip(self, tmp_path):
