@@ -172,3 +172,16 @@ def paste(img, crop):
     else:
         img = img[:, -H:, :]
     return img
+
+
+def paste_from_canvas(img, crop):
+    """`paste` generalized to ANY principal-point-centered canvas (e.g.
+    the capture-wide static canvas from `pad_frame_to`): the principal
+    point sits at the canvas center, so the image occupies
+    [center - left, center - left + W) x [center - top, ... + H).
+    Equals `paste` when the canvas is the frame's own 2*max(l,r)."""
+    left_w, right_w, top_h, bottom_h, W, H = [int(v) for v in crop]
+    rh, rw = img.shape[-2:]
+    x0 = rw // 2 - left_w
+    y0 = rh // 2 - top_h
+    return img[..., y0 : y0 + H, x0 : x0 + W]

@@ -181,6 +181,14 @@ def evaluate(config, iteration=None):
             pred, gt, heat, metrics = eval_frame(
                 params, batch, jax.random.PRNGKey(i)
             )
+            if "crop" in batch:
+                # canvas-padded capture frames: write image-size crops
+                # like the reference's paste (`renderer.py:36-47`)
+                from d3ga_tpu.raster.api import paste_from_canvas
+
+                pred, gt, heat = (
+                    paste_from_canvas(x, batch["crop"]) for x in (pred, gt, heat)
+                )
             pool.submit(
                 save_image_png,
                 os.path.join(render_path, "prediction", f"{i:05d}.png"),
