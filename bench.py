@@ -17,14 +17,21 @@ import sys
 import time
 
 
-def _wait_for_tpu(max_tries=8, probe_timeout=120, sleep_s=60):
+def _wait_for_tpu(max_tries=None, probe_timeout=120, sleep_s=None):
     """Wait out transient axon-tunnel outages before the main process
     initializes the backend (a failed/hung init inside this process is
     not recoverable, and the tunnel hangs rather than erroring). Probes
     in a short-lived subprocess so only ONE process ever touches the
-    TPU at a time. Disable with D3GA_BENCH_WAIT=0."""
+    TPU at a time. Outages last multi-hour (CLAUDE.md), so the default
+    budget is generous (~40 probes / ~2h); tune with
+    D3GA_BENCH_WAIT_TRIES / D3GA_BENCH_WAIT_SLEEP, disable with
+    D3GA_BENCH_WAIT=0."""
     if os.environ.get("D3GA_BENCH_WAIT", "1") == "0":
         return
+    if max_tries is None:
+        max_tries = int(os.environ.get("D3GA_BENCH_WAIT_TRIES", "40"))
+    if sleep_s is None:
+        sleep_s = int(os.environ.get("D3GA_BENCH_WAIT_SLEEP", "90"))
     code = (
         "import jax, numpy as np, jax.numpy as jnp;"
         "x = jnp.ones((8, 8)) @ jnp.ones((8, 8));"
