@@ -53,9 +53,21 @@ def vgg_distance(vgg_params, pred, gt):
     return d
 
 
-def compute_errors(gt, pred, vgg_params=None) -> Dict[str, float]:
+def compute_errors(gt, pred, vgg_params=None, mask=None) -> Dict[str, float]:
     """SSIM / PSNR (+ VGG distance) for [3, H, W] images in [0, 1]
-    (`/root/reference/recorder/heatmap.py:37-49`)."""
+    (`/root/reference/recorder/heatmap.py:37-49`). With a pixel_valid
+    mask (canvas-padded capture frames) both metrics average over real
+    pixels only."""
+    if mask is not None:
+        from d3ga_tpu.train.losses import masked_psnr, masked_ssim
+
+        out = {
+            "ssim": float(masked_ssim(pred, gt, mask)),
+            "psnr": float(masked_psnr(pred, gt, mask)),
+        }
+        if vgg_params is not None:
+            out["vgg_dist"] = vgg_distance(vgg_params, pred, gt)
+        return out
     out = {
         "ssim": float(ssim_fn(pred, gt)),
         "psnr": float(psnr_fn(pred, gt)),

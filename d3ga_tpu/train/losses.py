@@ -35,6 +35,20 @@ def psnr(pred, gt):
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
 
 
+def masked_psnr(pred, gt, mask=None, eps=1e-12):
+    """PSNR over the valid pixels only. Canvas-padded capture frames
+    (`data/batcher.py::pad_frame_to`) zero the padded border on both
+    sides; counting those exact-match pixels would inflate PSNR, so the
+    MSE denominator is the valid-pixel count. mask broadcasts against
+    pred (e.g. [1, H, W] vs [C, H, W]); mask=None reduces to plain PSNR."""
+    if mask is None:
+        mse = jnp.mean((pred - gt) ** 2) + eps
+    else:
+        m = jnp.broadcast_to(mask, pred.shape)
+        mse = jnp.sum((pred - gt) ** 2 * m) / jnp.maximum(jnp.sum(m), 1.0) + eps
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
 def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     g = np.exp(
         -((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma**2)
@@ -67,6 +81,21 @@ def _depthwise_conv2d_same(img, kernel2d):
 def ssim(img1, img2, window_size: int = 11):
     """Mean SSIM over [C, H, W] images in [0,1]
     (`utils/loss_utils.py:59-90`)."""
+    return jnp.mean(ssim_map(img1, img2, window_size))
+
+
+def masked_ssim(img1, img2, mask, window_size: int = 11):
+    """Mean SSIM over the valid pixels only (canvas-padded frames):
+    padded zeros match exactly on both sides, so unmasked SSIM windows
+    there score ~1 and bias the mean toward 1 by the pad fraction.
+    mask broadcasts against the images (e.g. [1, H, W])."""
+    m = jnp.broadcast_to(mask, img1.shape)
+    s = ssim_map(img1, img2, window_size)
+    return jnp.sum(s * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def ssim_map(img1, img2, window_size: int = 11):
+    """Per-pixel SSIM map over [C, H, W] images in [0,1]."""
     g1 = _gaussian_window(window_size, 1.5)
     window = jnp.asarray(np.outer(g1, g1))
     conv = partial(_depthwise_conv2d_same, kernel2d=window)
@@ -82,10 +111,9 @@ def ssim(img1, img2, window_size: int = 11):
 
     c1 = 0.01**2
     c2 = 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return jnp.mean(ssim_map)
 
 
 # ----------------------------------------------------------------------------

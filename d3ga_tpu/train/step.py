@@ -26,7 +26,13 @@ import optax
 from d3ga_tpu.fields import apply_learnable_blur, apply_pixel_bias, blur_reg
 from d3ga_tpu.model.avatar import AvatarModel, avatar_forward, resolve_camera
 from d3ga_tpu.raster.tiles import rasterize_tiled
-from d3ga_tpu.train.losses import l1_loss, ssim, vgg_loss
+from d3ga_tpu.train.losses import (
+    l1_loss,
+    masked_psnr,
+    masked_ssim,
+    ssim,
+    vgg_loss,
+)
 
 
 class LossWeights(NamedTuple):
@@ -175,11 +181,13 @@ def render_frame(
     # static render canvas carry a pixel_valid mask. Padded pixels are
     # zeroed on BOTH sides (the reference instead crops the render back
     # to the image — `renderer.py:36-47` paste — so they contribute no
-    # loss there either) and the means are rescaled to the real-pixel
-    # count so loss magnitudes match the unpadded/reference setup.
+    # loss there either) and every image mean (L1, SSIM, PSNR) averages
+    # over the real-pixel count so loss magnitudes and the L1:DSSIM
+    # balance match the unpadded/reference setup.
     pix_scale = 1.0
-    if "pixel_valid" in batch:
-        m = batch["pixel_valid"]
+    valid_mask = batch.get("pixel_valid")
+    if valid_mask is not None:
+        m = valid_mask
         pred_image = pred_image * m
         gt_image = gt_image * m
         pred_sil = pred_sil * m
@@ -188,7 +196,10 @@ def render_frame(
 
     lw = loss_weights
     rgb_l1 = l1_loss(pred_image, gt_image) * pix_scale
-    rgb_ssim = ssim(pred_image, gt_image)
+    if valid_mask is not None:
+        rgb_ssim = masked_ssim(pred_image, gt_image, valid_mask)
+    else:
+        rgb_ssim = ssim(pred_image, gt_image)
     color = (1.0 - lw.lambda_dssim) * rgb_l1 + lw.lambda_dssim * (1.0 - rgb_ssim)
     sil_l1 = l1_loss(pred_sil, gt_sil) * pix_scale
 
@@ -217,12 +228,7 @@ def render_frame(
         "pred_silhouette": pred_sil,
         "gt_silhouette": gt_sil,
         "raster_overflow": aux_rgb.overflow,
-        "psnr": 20.0 * jnp.log10(
-            1.0
-            / jnp.sqrt(
-                jnp.mean((pred_image - gt_image) ** 2) * pix_scale + 1e-12
-            )
-        ),
+        "psnr": masked_psnr(pred_image, gt_image, valid_mask),
     }
     return terms, aux
 

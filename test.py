@@ -107,7 +107,11 @@ def evaluate(config, iteration=None):
         compute_heatmap,
         save_image_png,
     )
-    from d3ga_tpu.train.losses import init_vgg19_features
+    from d3ga_tpu.train.losses import (
+        init_vgg19_features,
+        masked_psnr,
+        masked_ssim,
+    )
     from d3ga_tpu.train.losses import psnr as psnr_fn
     from d3ga_tpu.train.losses import ssim as ssim_fn
     from d3ga_tpu.train.step import render_frame
@@ -149,16 +153,16 @@ def evaluate(config, iteration=None):
         pred = jnp.clip(aux["pred_image"], 0, 1)
         gt = jnp.clip(aux["gt_image"], 0, 1)
         if "pixel_valid" in batch:
-            # canvas-padded capture frames: count only real pixels in
-            # PSNR (padded zeros match exactly and would inflate it);
-            # SSIM keeps the masked canvas (thin-border effect only)
+            # canvas-padded capture frames: average only over real
+            # pixels — padded zeros match exactly on both sides and
+            # would inflate PSNR (and bias SSIM toward 1)
             m = batch["pixel_valid"]
-            scale = m.size / jnp.maximum(jnp.sum(m), 1.0)
-            mse = jnp.mean((pred - gt) ** 2) * scale
-            psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-12))
+            metrics = {
+                "ssim": masked_ssim(pred, gt, m),
+                "psnr": masked_psnr(pred, gt, m),
+            }
         else:
-            psnr = psnr_fn(pred, gt)
-        metrics = {"ssim": ssim_fn(pred, gt), "psnr": psnr}
+            metrics = {"ssim": ssim_fn(pred, gt), "psnr": psnr_fn(pred, gt)}
         return pred, gt, compute_heatmap(gt, pred), metrics
 
     pool = ThreadPoolExecutor(max_workers=8)

@@ -7,6 +7,8 @@ from d3ga_tpu.train.losses import (
     l1_loss,
     l2_loss,
     bce_loss,
+    masked_psnr,
+    masked_ssim,
     psnr,
     ssim,
     init_vgg19_features,
@@ -30,6 +32,31 @@ class TestBasicLosses:
         a = jnp.full((3, 4, 4), 0.5)
         b = jnp.full((3, 4, 4), 0.6)
         np.testing.assert_allclose(psnr(a, b), 20.0, atol=1e-4)
+
+    def test_masked_metrics_ignore_padding(self):
+        # A canvas-padded pair: identical zeros in the pad, real error
+        # in the valid region. Masked metrics must equal the unmasked
+        # metrics computed on the valid crop alone.
+        rng = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(rng)
+        a_core = jax.random.uniform(k1, (3, 16, 16))
+        b_core = jax.random.uniform(k2, (3, 16, 16))
+        a = jnp.zeros((3, 24, 24)).at[:, :16, :16].set(a_core)
+        b = jnp.zeros((3, 24, 24)).at[:, :16, :16].set(b_core)
+        mask = jnp.zeros((1, 24, 24)).at[:, :16, :16].set(1.0)
+        np.testing.assert_allclose(
+            masked_psnr(a, b, mask), psnr(a_core, b_core), atol=1e-4
+        )
+        # unmasked PSNR on the padded canvas is inflated
+        assert float(psnr(a, b)) > float(masked_psnr(a, b, mask))
+        # masked SSIM drops the perfect-match pad windows: it must be
+        # well below the padded-canvas SSIM and close to the crop SSIM
+        # (boundary windows straddle the pad, so not exact).
+        s_masked = float(masked_ssim(a, b, mask))
+        assert s_masked < float(ssim(a, b)) - 0.05
+        assert abs(s_masked - float(ssim(a_core, b_core))) < 0.1
+        # mask=None reduces to the plain metric
+        np.testing.assert_allclose(masked_psnr(a, b, None), psnr(a, b), atol=1e-5)
 
     def test_bce_matches_formula(self):
         p = jnp.array([0.3, 0.8])
