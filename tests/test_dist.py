@@ -356,6 +356,91 @@ class TestShardedLossParity:
             float(metrics["total_loss"]), single_loss, rtol=2e-4
         )
 
+    def test_canvas_padded_parity(self):
+        """Sharded step == single-device render_frame on a canvas-padded
+        batch (pixel_valid mask -> masked L1/DSSIM/PSNR). Guards the
+        capture path: padded border pixels must not dilute the loss in
+        either step."""
+        import numpy as np
+
+        from d3ga_tpu.data.synthetic import (
+            build_synthetic_avatar,
+            checkerboard,
+            orbit_camera,
+        )
+        from d3ga_tpu.dist.mesh import make_mesh
+        from d3ga_tpu.dist.step_shard import (
+            make_sharded_train_step,
+            pad_params_for_shards,
+        )
+        from d3ga_tpu.model.avatar import init_avatar
+        from d3ga_tpu.train.optim import lr_tree_from_config, make_optimizer
+        from d3ga_tpu.train.step import render_frame, total_loss
+
+        mesh = make_mesh(data=2, model=4)
+        h = w = 48
+        B = 2
+        model, skel, lbs_dim = build_synthetic_avatar(
+            n_garments=1, n_gaussians=64, n_frames=4, n_cameras=2, n_joints=3
+        )
+        geoms = {g.name: g.geometry for g in model.garments}
+        params = pad_params_for_shards(init_avatar(jax.random.PRNGKey(0), model), 4)
+        lr_tree = lr_tree_from_config(params, {})
+        tx = make_optimizer(lr_tree)
+        step, shard_batch, shard_params = make_sharded_train_step(
+            model, tx, mesh, geoms, (h, w), B, max_per_tile=32
+        )
+        cams = [orbit_camera(0.3 * i, w, h) for i in range(B)]
+        # each frame valid only in a 40x36 corner of the 48x48 canvas,
+        # like capture frames padded to the shared render canvas
+        valid = jnp.zeros((B, 1, h, w)).at[:, :, :40, :36].set(1.0)
+        board = checkerboard(h, w)
+        host_batch = {
+            "world_view": jnp.stack([c.world_view for c in cams]),
+            "full_proj": jnp.stack([c.full_proj for c in cams]),
+            "camera_center": jnp.stack([c.camera_center for c in cams]),
+            "tanfovx": jnp.stack([c.tanfovx for c in cams]),
+            "tanfovy": jnp.stack([c.tanfovy for c in cams]),
+            "lbs": jax.random.normal(jax.random.PRNGKey(1), (B, lbs_dim)) * 0.1,
+            "frame_idx": jnp.arange(B, dtype=jnp.int32),
+            "camera_idx": jnp.zeros(B, jnp.int32),
+            "image": jnp.stack([board] * B) * valid,
+            "alpha": valid,
+            "silhouette": jnp.full((B, 3, h, w), 0.5) * valid,
+            "pixel_valid": valid,
+        }
+        rng = jax.random.PRNGKey(7)
+
+        total = 0.0
+        psnr_single = 0.0
+        for b in range(B):
+            frame = {
+                "camera": cams[b],
+                "lbs": host_batch["lbs"][b],
+                "frame_idx": host_batch["frame_idx"][b],
+                "camera_idx": host_batch["camera_idx"][b],
+                "image": host_batch["image"][b],
+                "alpha": host_batch["alpha"][b],
+                "silhouette": host_batch["silhouette"][b],
+                "pixel_valid": host_batch["pixel_valid"][b],
+            }
+            terms, aux = render_frame(
+                params, model, frame, jax.random.fold_in(rng, b),
+                training=True, max_per_tile=32,
+            )
+            total += float(total_loss(terms))
+            psnr_single += float(aux["psnr"])
+
+        sp = shard_params(params)
+        opt_state = tx.init(sp)
+        _, _, metrics = step(sp, opt_state, shard_batch(host_batch), rng, jnp.int32(0))
+        np.testing.assert_allclose(
+            float(metrics["total_loss"]), total / B, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            float(metrics["psnr"]), psnr_single / B, rtol=2e-4
+        )
+
 
 class TestShardedPallasBlend:
     def test_record_kernel_matches_single_device(self, mesh4):
