@@ -147,6 +147,14 @@ def init_avatar(
             _cfg(cfg, "image_height", 1024),
             _cfg(cfg, "image_width", 667),
         )
+    if _cfg(cfg, "use_bg_network", False):
+        from d3ga_tpu.fields import init_background_model
+
+        params["bg_net"] = init_background_model(
+            model.n_cameras,
+            _cfg(cfg, "image_height", 1024),
+            _cfg(cfg, "image_width", 667),
+        )
     if _cfg(cfg, "use_ao", False):
         params["shadow_decoder"] = F.init_shadow_decoder(ks[k + 2])
     if _cfg(cfg, "use_face_emb", False):

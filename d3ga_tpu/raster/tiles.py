@@ -52,6 +52,11 @@ REC_GRAD = os.environ.get("D3GA_REC_GRAD", "add")
 # "sortpayload" (ONE multi-operand lax.sort carrying all record
 # columns as payloads).
 REORDER = os.environ.get("D3GA_REORDER", "argsort")
+# Pallas blend kernel layout: "ct" (channels-transposed wide-row
+# operands, pallas_blend_ct.py — cheaper through the axon runtime's
+# per-row operand tax) or "rec" ([T, K, CR] records,
+# pallas_blend_rec.py).
+BLEND_LAYOUT = os.environ.get("D3GA_BLEND_LAYOUT", "ct")
 
 TILE = 16
 ALPHA_SKIP = 1.0 / 255.0
@@ -1229,13 +1234,26 @@ def rasterize_tiled(
             rec_t = gather_records_dupslot(records_ext, idx, dup_q, dup * dup)
         else:
             rec_t = records_ext[idx]  # [T, K, 6+C]
-        out = blend_image_rec(
-            rec_t, jnp.minimum(counts, max_per_tile),
-            n_tiles_x, n_tiles_y, C, pallas_interpret,
-        )  # [nty*16, ntx*16, C+1] with T_bg last
-        rgb = out[..., :C] + out[..., C:] * jnp.asarray(bg_color)
-        img = jnp.concatenate([rgb, 1.0 - out[..., C:]], axis=-1)[:H, :W]
-        image = jnp.transpose(img[..., :C], (2, 0, 1))
+        if BLEND_LAYOUT == "ct":
+            from d3ga_tpu.raster.pallas_blend_ct import blend_image_ct
+
+            out = blend_image_ct(
+                jnp.swapaxes(rec_t, 1, 2), jnp.minimum(counts, max_per_tile),
+                n_tiles_x, n_tiles_y, C, pallas_interpret,
+            )  # [(C+1), nty*16, ntx*16] planar, T_bg last plane
+            image = (
+                out[:C] + out[C:] * jnp.asarray(bg_color)[:, None, None]
+            )[:, :H, :W]
+            alpha_img = 1.0 - out[C, :H, :W]
+        else:
+            out = blend_image_rec(
+                rec_t, jnp.minimum(counts, max_per_tile),
+                n_tiles_x, n_tiles_y, C, pallas_interpret,
+            )  # [nty*16, ntx*16, C+1] with T_bg last
+            rgb = out[..., :C] + out[..., C:] * jnp.asarray(bg_color)
+            img = jnp.concatenate([rgb, 1.0 - out[..., C:]], axis=-1)[:H, :W]
+            image = jnp.transpose(img[..., :C], (2, 0, 1))
+            alpha_img = img[..., C]
 
         aux = RasterAux(
             overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
@@ -1243,7 +1261,7 @@ def rasterize_tiled(
             n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
         )
         if return_alpha:
-            return image, img[..., C], aux
+            return image, alpha_img, aux
         return image, aux
     else:
         safe_ranks = jnp.where(sel_valid, ranks, 0)

@@ -92,6 +92,7 @@ DEFAULT_TOP_LRS = {
     "camera_calib": 1e-4,
     "learnable_blur": 1e-3,
     "pixel_cal": 5e-6,
+    "bg_net": 0.01,  # `garment_net.py:136`
     "frame_embeddings": "lr",
     "camera_embeddings": "lr",
     "shadow_decoder": "lr",

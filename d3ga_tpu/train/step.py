@@ -23,7 +23,14 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from d3ga_tpu.fields import apply_learnable_blur, apply_pixel_bias, blur_reg
+from d3ga_tpu.fields import (
+    apply_background,
+    apply_learnable_blur,
+    apply_pixel_bias,
+    blur_reg,
+    blurred_noise,
+    composite_background,
+)
 from d3ga_tpu.model.avatar import AvatarModel, avatar_forward, resolve_camera
 from d3ga_tpu.raster.tiles import rasterize_tiled
 from d3ga_tpu.train.losses import (
@@ -99,7 +106,19 @@ def render_frame(
     else:
         bg = jnp.ones(3) if cfg.get("background", "white") == "white" else jnp.zeros(3)
 
+    # Per-camera learnable background (`garment_net.py:196-199` — dead
+    # code there; live here, see fields/background.py). Composited via
+    # the rasterizer's background transmittance, so it needs the alpha
+    # output (single-device raster paths only).
+    bg_map = None
+    if "bg_net" in params:
+        bg_map = apply_background(
+            params["bg_net"], batch["camera_idx"], camera.height, camera.width
+        )
+
     raster_kwargs = dict(max_per_tile=max_per_tile)
+    if bg_map is not None:
+        raster_kwargs["return_alpha"] = True
     fuse = not detach_silhouette and pkg.get("rgb") is not None
     if fuse:
         # One fused rasterization with 6 color channels (RGB +
@@ -110,7 +129,7 @@ def render_frame(
         # detach anything.
         colors6 = jnp.concatenate([pkg["rgb"], pkg["silhouette_rgb"]], axis=-1)
         bg6 = jnp.concatenate([bg, jnp.zeros(3)])
-        both, aux_rgb = rasterize_fn(
+        out = rasterize_fn(
             pkg["means3D"], camera, bg6,
             cov3d=pkg.get("cov3D_precomp"),
             scales=pkg.get("scales"),
@@ -119,10 +138,14 @@ def render_frame(
             colors=colors6,
             **raster_kwargs,
         )
+        if bg_map is not None:
+            both, alpha_img, aux_rgb = out
+        else:
+            both, aux_rgb = out
         pred_image = both[:3]
         pred_sil = both[3:]
     else:
-        pred_image, aux_rgb = rasterize_fn(
+        out = rasterize_fn(
             pkg["means3D"], camera, bg,
             cov3d=pkg.get("cov3D_precomp"),
             scales=pkg.get("scales"),
@@ -133,6 +156,10 @@ def render_frame(
             sh_degree=sh_degree,
             **raster_kwargs,
         )
+        if bg_map is not None:
+            pred_image, alpha_img, aux_rgb = out
+        else:
+            pred_image, aux_rgb = out
 
         sil_means = pkg["means3D"]
         sil_cov = pkg.get("cov3D_precomp")
@@ -150,8 +177,11 @@ def render_frame(
             rotations=pkg.get("rotations"),
             opacities=sil_opac,
             colors=pkg["silhouette_rgb"],
-            **raster_kwargs,
+            max_per_tile=max_per_tile,
         )
+
+    if bg_map is not None:
+        pred_image = composite_background(pred_image, 1.0 - alpha_img, bg_map, bg)
 
     blur_weights = None
     if "learnable_blur" in params:
@@ -170,12 +200,38 @@ def render_frame(
     if gt_alpha.ndim == 2:
         gt_alpha = gt_alpha[None]
     gt_alpha = jnp.broadcast_to(gt_alpha, batch["image"].shape)
-    gt_image = batch["image"] * gt_alpha + (1.0 - gt_alpha) * bg[:, None, None]
+    if cfg.get("use_background", False) and "orig_image" in batch:
+        # Full frame incl. the real background as the target
+        # (`models/trainer.py:112`) — the bg net must explain it.
+        gt_image = batch["orig_image"]
+    else:
+        gt_image = batch["image"] * gt_alpha + (1.0 - gt_alpha) * bg[:, None, None]
     gt_sil = batch["silhouette"] * gt_alpha
     if "boundary_fg" in batch:
         b = 1.0 - batch["boundary_fg"]
         gt_image = gt_image * b + (1.0 - b) * bg[:, None, None]
         gt_sil = gt_sil * b
+
+    # Blurred-noise background target while the bg net warms up or under
+    # use_random_bg (`garment_net.py:201-203`, `trainer.py:113-126`):
+    # the gt background region becomes blurred noise (zero expected
+    # gradient there), composited with the ORIGINAL image's foreground.
+    use_random_bg = cfg.get("use_random_bg", False)
+    enable_bg = int(cfg.get("enable_bg", 0))
+    if (bg_map is not None and enable_bg > 0) or use_random_bg:
+        noise = blurred_noise(jax.random.fold_in(rng, 2), gt_image.shape)
+        if "learnable_blur" in params:
+            noise = apply_learnable_blur(
+                params["learnable_blur"], noise, batch["camera_idx"]
+            )
+        noise = jax.lax.stop_gradient(noise)
+        orig = batch.get("orig_image", batch["image"])
+        noisy_gt = (1.0 - gt_alpha) * noise + gt_alpha * orig
+        active = jnp.logical_or(
+            jnp.asarray(use_random_bg),
+            jnp.asarray(iteration) < enable_bg if bg_map is not None else False,
+        )
+        gt_image = jnp.where(active, noisy_gt, gt_image)
 
     # Canvas padding (`pad_frame_to`): frames padded to the capture's
     # static render canvas carry a pixel_valid mask. Padded pixels are

@@ -176,3 +176,77 @@ class TestFusedSilhouette:
             np.asarray(aux_fused["pred_silhouette"]),
             np.asarray(aux_two["pred_silhouette"]), atol=1e-5,
         )
+
+
+class TestBackgroundNetwork:
+    def test_bg_net_trains_and_noise_gate(self):
+        """`use_bg_network` wires a per-camera learnable background into
+        the train step (`garment_net.py:196-204`, `trainer.py:113-126`):
+        bg_net receives gradients, and before train.enable_bg the gt
+        background region is blurred noise."""
+        from d3ga_tpu.train.step import render_frame, total_loss
+
+        h = w = 64
+        model, skel, lbs_dim = build_synthetic_avatar(
+            n_garments=1, n_gaussians=96, n_frames=4, n_cameras=2,
+            n_joints=3,
+            config_overrides={
+                "use_bg_network": True,
+                "use_background": True,
+                "enable_bg": 5,
+                "image_height": h,
+                "image_width": w,
+            },
+        )
+        params = init_avatar(jax.random.PRNGKey(0), model)
+        assert "bg_net" in params
+        cam = orbit_camera(0.3, w, h)
+        batch = synthetic_batch(cam, lbs_dim, h, w, frame_idx=1, camera_idx=0)
+        batch["orig_image"] = checkerboard(h, w) * 0.5 + 0.25
+        # a real background region so the noise compositing is visible
+        batch["alpha"] = batch["alpha"].at[:, :, : w // 2].set(0.0)
+
+        def loss_fn(p, it):
+            terms, aux = render_frame(
+                p, model, batch, jax.random.PRNGKey(1), training=True,
+                max_per_tile=64, iteration=jnp.int32(it),
+            )
+            return total_loss(terms), aux
+
+        (l0, aux0), g = jax.value_and_grad(loss_fn, has_aux=True)(params, 0)
+        assert np.isfinite(float(l0))
+        # bg net sees gradient through the composited background
+        assert float(jnp.abs(g["bg_net"]["bg"]).sum()) > 0
+        # before enable_bg the gt is noise-composited; after it is orig
+        _, aux_late = loss_fn(params, 10)
+        gt_early = np.asarray(aux0["gt_image"])
+        gt_late = np.asarray(aux_late["gt_image"])
+        np.testing.assert_allclose(
+            gt_late, np.asarray(batch["orig_image"]), atol=1e-6
+        )
+        assert np.abs(gt_early - gt_late).max() > 0.01
+
+    def test_random_bg_gate(self):
+        """`use_random_bg` composites blurred noise into the gt
+        background at every iteration (`garment_net.py:201`)."""
+        from d3ga_tpu.train.step import render_frame
+
+        h = w = 64
+        model, skel, lbs_dim = build_synthetic_avatar(
+            n_garments=1, n_gaussians=96, n_frames=4, n_cameras=2,
+            n_joints=3, config_overrides={"use_random_bg": True},
+        )
+        params = init_avatar(jax.random.PRNGKey(0), model)
+        assert "bg_net" not in params
+        cam = orbit_camera(0.3, w, h)
+        batch = synthetic_batch(cam, lbs_dim, h, w, frame_idx=1, camera_idx=0)
+        # alpha=1 everywhere -> noise must not change the gt; shrink it
+        batch["alpha"] = batch["alpha"] * 0.0
+        _, aux = render_frame(
+            params, model, batch, jax.random.PRNGKey(1), training=True,
+            max_per_tile=64, iteration=jnp.int32(100),
+        )
+        gt = np.asarray(aux["gt_image"])
+        # gt is now pure blurred noise (alpha=0): smooth, in [0,1]
+        assert gt.min() >= 0.0 and gt.max() <= 1.0
+        assert 0.3 < gt.mean() < 0.7

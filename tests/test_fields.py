@@ -135,3 +135,37 @@ class TestPixelBias:
         out = apply_pixel_bias(p, 1, 64, 48)
         assert out.shape == (1, 64, 48)
         np.testing.assert_allclose(out, 0.0)
+
+
+class TestBackground:
+    def test_mid_gray_init_upsample(self):
+        from d3ga_tpu.fields import apply_background, init_background_model
+
+        p = init_background_model(2, 64, 48, ds_rate=8)
+        out = apply_background(p, 1, 64, 48)
+        assert out.shape == (3, 64, 48)
+        np.testing.assert_allclose(out, 0.5)
+
+    def test_composite_swaps_solid_bg_for_map(self):
+        from d3ga_tpu.fields import composite_background
+
+        k = jax.random.PRNGKey(0)
+        raw = jax.random.uniform(k, (3, 16, 16))
+        t_bg = jax.random.uniform(jax.random.fold_in(k, 1), (16, 16))
+        bg = jnp.array([0.2, 0.7, 0.4])
+        bg_map = jax.random.uniform(jax.random.fold_in(k, 2), (3, 16, 16))
+        pred = raw + t_bg[None] * bg[:, None, None]
+        out = composite_background(pred, t_bg, bg_map, bg)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(raw + t_bg[None] * bg_map), atol=1e-6
+        )
+
+    def test_blurred_noise_is_smooth_uniform(self):
+        from d3ga_tpu.fields import blurred_noise
+
+        x = blurred_noise(jax.random.PRNGKey(3), (3, 64, 64))
+        assert x.shape == (3, 64, 64)
+        # blur preserves the uniform mean but shrinks the variance
+        assert abs(float(x.mean()) - 0.5) < 0.02
+        assert float(x.var()) < 1.0 / 12.0 / 2.0
+        assert float(x.min()) >= 0.0 and float(x.max()) <= 1.0
