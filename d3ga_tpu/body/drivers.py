@@ -114,6 +114,35 @@ class GoliathBody:
         geom = jnp.einsum("bij,bvj->bvi", RT[:, :3, :3], geom) + RT[:, None, :3, 3]
         return geom + self.center_mass
 
+    def get_registration(self, motion, geometry_mm):
+        """Registration (tracked) geometry [B, V, 3] in capture mm ->
+        the body-centric meter frame: the `geometry=` path of
+        `blueman.py:141-160` (skips skinning, applies only the
+        root-relative re-centering)."""
+        RT = self._root_rt(motion)
+        geom = geometry_mm / 1000.0
+        geom = jnp.einsum("bij,bvj->bvi", RT[:, :3, :3], geom) + RT[:, None, :3, 3]
+        return geom + self.center_mass
+
+    def to_body_model_space(self, motion, geom):
+        """Body-centric meters -> LBS-unposed capture mm
+        (`blueman.py:90-99`): undo center-of-mass + root transform,
+        back to mm, then inverse-skin."""
+        from d3ga_tpu.body.lbs import unskin_points
+
+        RT = self._root_rt(motion)
+        RTi = jnp.linalg.inv(RT)
+        v = geom - self.center_mass
+        v = jnp.einsum("bij,bvj->bvi", RTi[:, :3, :3], v) + RTi[:, None, :3, 3]
+        v = v * 1000.0 / self.global_scaling
+        params = self._params(motion)
+        return unskin_points(self.skeleton, params, v)
+
+    def from_body_model_to_canonical(self, geom_mm):
+        """`blueman.py:117-120` (note the reference's own dm/m unit mix
+        — /100 not /1000 — kept for parity)."""
+        return geom_mm / 100.0 + self.center_mass
+
     def with_skeleton(self, skeleton: MomentumSkeleton) -> "GoliathBody":
         """Shallow copy driving a different skinned template (e.g. cage
         nodes with transferred weights, `lib/cage_blueman.py:102-116`)

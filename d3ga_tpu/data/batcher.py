@@ -133,6 +133,8 @@ class Batcher:
         boundary_fg: Optional[np.ndarray] = None,
         smplx: Optional[Dict] = None,
         face_kpt: Optional[np.ndarray] = None,
+        geom: Optional[np.ndarray] = None,        # [V, 3] registration verts (capture mm)
+        geom_faces: Optional[np.ndarray] = None,  # [F, 3]
     ) -> Dict:
         C, H, W = image_u8.shape
         fg = (seg_part > 0)
@@ -198,7 +200,39 @@ class Batcher:
             frame["cam_rt"] = _to44(Rt).astype(np.float32)
         if face_kpt is not None:
             frame["face_kpt"] = face_kpt.astype(np.float32)
+        if geom is not None and geom_faces is not None and self.body_model is not None:
+            self._attach_geometry_maps(frame, geom, geom_faces)
         return frame
+
+    def _attach_geometry_maps(self, frame, geom, geom_faces):
+        """Registration-geometry position/normal/depth/mask maps
+        (`/root/reference/lib/batch.py:246-260` via
+        `recorder/mesh_renderer.py:69-100`): pose the tracked vertices
+        with the body model's root transform, z-buffer rasterize on the
+        frame's render canvas, crop back to the image like the renders
+        (`paste`, bg black)."""
+        import jax.numpy as jnp
+
+        from d3ga_tpu.raster.api import paste
+        from d3ga_tpu.utils.debug_render import geometry_maps
+
+        motion = jnp.asarray(frame["lbs"], jnp.float32)[None]
+        posed = self.body_model.get_registration(
+            motion, jnp.asarray(geom, jnp.float32)[None]
+        )
+        camera = self.make_camera(frame)
+        pos, nrm, depth, mask = geometry_maps(
+            posed[0], jnp.asarray(geom_faces, jnp.int32), camera
+        )
+        frame["position_map"] = np.asarray(paste(pos, frame["crop"]), np.float32)
+        frame["normal_map"] = np.asarray(paste(nrm, frame["crop"]), np.float32)
+        frame["depth_map"] = np.asarray(paste(depth, frame["crop"]), np.float32)
+        frame["mask_map"] = np.asarray(paste(mask, frame["crop"]), np.float32)
+        frame["pose_vertices"] = np.asarray(posed[0], np.float32)
+        unposed = self.body_model.to_body_model_space(motion, posed)
+        frame["unpose_vertices"] = np.asarray(
+            self.body_model.from_body_model_to_canonical(unposed)[0], np.float32
+        )
 
     def make_camera(self, frame):
         return make_camera(
@@ -261,7 +295,8 @@ def pad_frame_to(frame: Dict, render_w: int, render_h: int) -> Dict:
         return place_on_canvas(img, crop, render_w, render_h, fill)
 
     out = dict(frame)
-    for key in ("image", "orig_image", "alpha", "silhouette", "boundary_fg"):
+    for key in ("image", "orig_image", "alpha", "silhouette", "boundary_fg",
+                "position_map", "normal_map", "depth_map", "mask_map"):
         if key in frame:
             out[key] = place(frame[key])
     # mask of real (non-padded) pixels for loss weighting

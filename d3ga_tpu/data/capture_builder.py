@@ -154,6 +154,7 @@ def build_goliath_avatar(config: Dict):
         shared_assets_path=data_cfg["shared_assets_path"],
         split="train",
         regex=config.get("camera_regex", "402"),
+        use_geometry=data_cfg.get("use_geometry", False),
     )
     assets = ds.load_shared_assets()
     skeleton = momentum_skeleton_from_assets(assets, ds)
@@ -576,6 +577,13 @@ def build_capture_training(config: Dict, eval: bool = False):
 
     batcher = Batcher(config, body_model=body)
 
+    # registration-geometry map path (`lib/batch.py:146,246-260`)
+    geom_faces = None
+    if getattr(ds, "use_geometry", False):
+        geom_faces = np.asarray(
+            ds.load_shared_assets()["topology"]["vi"]
+        ).reshape(-1, 3)
+
     use_face = model.config.get("use_face_emb", False)
     if use_face:
         assets = ds.load_shared_assets()
@@ -628,6 +636,8 @@ def build_capture_training(config: Dict, eval: bool = False):
                 seg_fg=sample.get("seg_fg", [None])[0],
                 boundary_fg=sample.get("boundary_fg"),
                 face_kpt=sample.get("face_kpt"),
+                geom=sample.get("geom"),
+                geom_faces=geom_faces,
             )
             if frame is None:
                 strikes.bad()
@@ -659,6 +669,9 @@ def build_capture_training(config: Dict, eval: bool = False):
                 out["face_kpt_canonical"] = canonical_face_kpt(
                     frame["lbs"], frame["face_kpt"]
                 )
+            for k in ("position_map", "normal_map", "depth_map", "mask_map"):
+                if k in frame:
+                    out[k] = jnp.asarray(frame[k])
             yield out
 
     return model, frame_iter()

@@ -55,7 +55,9 @@ class GoliathDataset:
         frames_subset=None,
         regex=None,
         ds=4,
+        use_geometry=False,
     ):
+        self.use_geometry = use_geometry
         self.root_path = Path(root_path)
         self.shared_assets_path = shared_assets_path
         self.split = split
@@ -348,6 +350,12 @@ class GoliathDataset:
         face_kpt = self.load_face_kpt(frame)
         if face_kpt is not None:
             sample["face_kpt"] = face_kpt
+        if self.use_geometry:
+            # registration (tracked) vertices enable the Batcher's
+            # geometry-map path (`lib/batch.py:146,246-260`)
+            geom = self.load_registration_vertices(frame)
+            if geom is not None:
+                sample["geom"] = geom
         return sample
 
     def __len__(self):

@@ -84,12 +84,31 @@ def render_mesh(
     return render_points(pts, camera, colors=cols, point_size=2, bg=bg)
 
 
+def vertex_normals(verts, faces):
+    """Area-weighted vertex normals (pytorch3d `verts_normals_packed`
+    semantics used by `recorder/mesh_renderer.py:74-76`)."""
+    f = faces
+    v0, v1, v2 = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)  # area-weighted
+    vn = jnp.zeros_like(verts)
+    for k in range(3):
+        vn = vn.at[f[:, k]].add(fn)
+    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+
+
 def geometry_maps(verts, faces, camera: Camera, samples_per_face: int = 8):
-    """Position/depth/mask maps of a posed mesh (Batcher geometry path,
-    `/root/reference/recorder/mesh_renderer.py:69-100`)."""
+    """Position/normal/depth/mask maps of a posed mesh (Batcher geometry
+    path, `/root/reference/recorder/mesh_renderer.py:69-100`): position
+    is world-space, depth is view-space z, the normal is the face's
+    summed vertex normals renormalized (the reference interpolates
+    vertex normals with all-ones barycentrics), mask flags covered
+    pixels. Returns ([3,H,W], [3,H,W], [1,H,W], [1,H,W])."""
     H, W = camera.height, camera.width
     f = faces
     v0, v1, v2 = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
+    vn = vertex_normals(verts, faces)
+    fnrm = vn[f[:, 0]] + vn[f[:, 1]] + vn[f[:, 2]]
+    fnrm = fnrm / jnp.maximum(jnp.linalg.norm(fnrm, axis=-1, keepdims=True), 1e-12)
     import numpy as np
 
     rng = np.random.default_rng(0)
@@ -99,6 +118,7 @@ def geometry_maps(verts, faces, camera: Camera, samples_per_face: int = 8):
         + w[None, :, 1, None] * v1[:, None]
         + w[None, :, 2, None] * v2[:, None]
     ).reshape(-1, 3)
+    nrm_s = jnp.repeat(fnrm[:, None], samples_per_face, axis=1).reshape(-1, 3)
     px, py, z = _project(pts, camera)
     valid = (z > 0.01) & (px >= 0) & (px < W) & (py >= 0) & (py < H)
     xi = jnp.clip(px.astype(jnp.int32), 0, W - 1)
@@ -106,12 +126,15 @@ def geometry_maps(verts, faces, camera: Camera, samples_per_face: int = 8):
     flat = jnp.where(valid, yi * W + xi, H * W)
     zbuf = jnp.full((H * W + 1,), jnp.inf).at[flat].min(jnp.where(valid, z, jnp.inf))
     win = valid & (z <= zbuf[flat] + 1e-9)
-    pos = jnp.zeros((H * W + 1, 3)).at[jnp.where(win, flat, H * W)].set(pts)
+    wflat = jnp.where(win, flat, H * W)
+    pos = jnp.zeros((H * W + 1, 3)).at[wflat].set(pts)
+    nrm = jnp.zeros((H * W + 1, 3)).at[wflat].set(nrm_s)
     depth = zbuf[: H * W].reshape(H, W)
     mask = jnp.isfinite(depth).astype(jnp.float32)
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
     return (
         pos[: H * W].reshape(H, W, 3).transpose(2, 0, 1),
+        nrm[: H * W].reshape(H, W, 3).transpose(2, 0, 1),
         depth[None],
         mask[None],
     )

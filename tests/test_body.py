@@ -178,3 +178,43 @@ class TestSmplxLoader:
         assert int(m.parents[0]) == -1 or int(m.parents[0]) > J  # root handled
         out = smplx_lbs(m, jnp.zeros((1, J * 3)), jnp.zeros((1, 10)))
         np.testing.assert_allclose(out[0], m.v_template, atol=1e-4)
+
+
+class TestRegistrationGeometry:
+    """`blueman.py:90-99,141-160` geometry= path + unpose round trip."""
+
+    def _body(self):
+        from d3ga_tpu.body.drivers import GoliathBody
+
+        skel, P = two_joint_skeleton()
+
+        class TinyBody(GoliathBody):
+            STAR_POSE_IDX = {8: 0.1}
+
+        body = TinyBody(
+            skel, scales=jnp.zeros(0), global_scaling=1.0,
+            n_pose_params=P, root_joint=0,
+        )
+        return body, P
+
+    def test_get_registration_matches_get_on_posed_template(self):
+        body, P = self._body()
+        motion = jnp.zeros((1, P)).at[0, 8].set(0.3)  # child rx
+        # skinning() output in capture mm == what get() re-centers
+        geom_mm, _, _ = body.skinning(motion)
+        via_reg = body.get_registration(motion, geom_mm)
+        via_get = body.get(motion)
+        np.testing.assert_allclose(
+            np.asarray(via_reg), np.asarray(via_get), atol=1e-5
+        )
+
+    def test_to_body_model_space_round_trip(self):
+        body, P = self._body()
+        motion = jnp.zeros((1, P)).at[0, 8].set(0.4).at[0, 1].set(0.2)
+        posed = body.get(motion)
+        unposed_mm = body.to_body_model_space(motion, posed)
+        np.testing.assert_allclose(
+            np.asarray(unposed_mm)[0],
+            np.asarray(body.skeleton.template_verts),
+            atol=1e-4,
+        )

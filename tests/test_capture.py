@@ -126,12 +126,25 @@ class TestGoliathEndToEnd:
         (root, shared), tmp = goliath_tree
         config = goliath_config(root, shared, tmp / "assets")
         config["train"]["use_face_emb"] = True
+        config["data"]["use_geometry"] = True
         model, frames = build_capture_training(config)
         assert model.config["use_face_emb"] and model.config["n_valid_kpts"] == N_KPT
         frame = next(frames)
         assert frame["image"].shape[0] == 3
         assert "face_kpt_canonical" in frame
         assert frame["face_kpt_canonical"].shape == (N_KPT, 3)
+        # registration geometry-map path (`lib/batch.py:246-260`)
+        h, w = frame["image"].shape[1:]
+        assert frame["position_map"].shape == (3, h, w)
+        assert frame["normal_map"].shape == (3, h, w)
+        assert frame["depth_map"].shape == (1, h, w)
+        assert frame["mask_map"].shape == (1, h, w)
+        mask = np.asarray(frame["mask_map"])
+        assert 0 < mask.sum() < mask.size  # mesh covers some pixels
+        nrm = np.asarray(frame["normal_map"]).reshape(3, -1)[:, mask.ravel() > 0]
+        np.testing.assert_allclose(
+            np.linalg.norm(nrm, axis=0), 1.0, atol=1e-4
+        )
 
         params = init_avatar(jax.random.PRNGKey(0), model)
         assert "face_decoder" in params
