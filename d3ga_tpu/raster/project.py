@@ -113,8 +113,11 @@ def project_gaussians(
     opac = opacities.reshape(n)
     if antialiasing:
         # dr_aa convolution scaling: energy-preserving opacity rescale.
+        # The clamp constant is the CUDA kernel's 0.000025
+        # (h_convolution_scaling in the dr_aa preprocess; audited in
+        # docs/ORACLE_AUDIT.md).
         det_dil_safe = jnp.where(det > 0, det, 1.0)
-        h_conv = jnp.sqrt(jnp.maximum(1e-6, det_orig / det_dil_safe))
+        h_conv = jnp.sqrt(jnp.maximum(0.000025, det_orig / det_dil_safe))
         opac = opac * h_conv
 
     det_ok = det > 0

@@ -7,11 +7,18 @@ over the *optimized* training poses (sklearn, 30 components, clamped at
 2 sigma), render each test frame with mean embeddings, accumulate
 metrics, dump error text files and heatmaps.
 
-LPIPS note: pretrained LPIPS weights cannot be shipped (zero egress);
-`vgg_distance` reports the same 5-layer VGG feature L1 the training
-perceptual loss uses (pretrained torchvision weights are loaded when a
-checkpoint is provided, otherwise the seeded random-feature VGG — a
-consistent, monotone perceptual proxy).
+LPIPS note: pretrained weights cannot be shipped (zero egress). Three
+distinct perceptual metrics, named so they cannot be confused:
+  - "lpips"        — the TRUE LPIPS-VGG head (`train/lpips.py`), only
+                     when `train.lpips_weights_path` points at an npz
+                     exported by tools/export_lpips.py. Comparable to
+                     published numbers / the reference's errors_*.txt.
+  - "vgg_dist"     — 5-layer VGG19 feature L1 with PRETRAINED weights
+                     (train.vgg_weights_path). Not LPIPS, but a real
+                     perceptual distance.
+  - "randvgg_dist" — the same with the seeded RANDOM VGG fallback. A
+                     consistent monotone proxy for this repo only; NOT
+                     comparable to anything published.
 """
 
 import os
@@ -53,10 +60,19 @@ def vgg_distance(vgg_params, pred, gt):
     return d
 
 
-def compute_errors(gt, pred, vgg_params=None, mask=None) -> Dict[str, float]:
-    """SSIM / PSNR (+ VGG distance) for [3, H, W] images in [0, 1]
+def vgg_metric_name(vgg_params) -> str:
+    """"vgg_dist" with pretrained weights; "randvgg_dist" with the
+    random fallback (NOT comparable to LPIPS or any published number)."""
+    return "vgg_dist" if vgg_params.get("pretrained") else "randvgg_dist"
+
+
+def compute_errors(
+    gt, pred, vgg_params=None, mask=None, lpips_params=None
+) -> Dict[str, float]:
+    """SSIM / PSNR (+ perceptual distances, see module docstring) for
+    [3, H, W] images in [0, 1]
     (`/root/reference/recorder/heatmap.py:37-49`). With a pixel_valid
-    mask (canvas-padded capture frames) both metrics average over real
+    mask (canvas-padded capture frames) SSIM/PSNR average over real
     pixels only."""
     if mask is not None:
         from d3ga_tpu.train.losses import masked_psnr, masked_ssim
@@ -65,15 +81,17 @@ def compute_errors(gt, pred, vgg_params=None, mask=None) -> Dict[str, float]:
             "ssim": float(masked_ssim(pred, gt, mask)),
             "psnr": float(masked_psnr(pred, gt, mask)),
         }
-        if vgg_params is not None:
-            out["vgg_dist"] = vgg_distance(vgg_params, pred, gt)
-        return out
-    out = {
-        "ssim": float(ssim_fn(pred, gt)),
-        "psnr": float(psnr_fn(pred, gt)),
-    }
+    else:
+        out = {
+            "ssim": float(ssim_fn(pred, gt)),
+            "psnr": float(psnr_fn(pred, gt)),
+        }
     if vgg_params is not None:
-        out["vgg_dist"] = vgg_distance(vgg_params, pred, gt)
+        out[vgg_metric_name(vgg_params)] = vgg_distance(vgg_params, pred, gt)
+    if lpips_params is not None:
+        from d3ga_tpu.train.lpips import lpips_vgg
+
+        out["lpips"] = float(lpips_vgg(lpips_params, pred, gt))
     return out
 
 

@@ -141,6 +141,11 @@ def evaluate(config, iteration=None):
     vgg_params = None
     if tcfg.get("vgg_weights_path"):
         vgg_params = init_vgg19_features(weights_path=tcfg["vgg_weights_path"])
+    lpips_params = None
+    if tcfg.get("lpips_weights_path"):
+        from d3ga_tpu.train.lpips import init_lpips
+
+        lpips_params = init_lpips(tcfg["lpips_weights_path"])
 
     cinema = os.path.join(run_dir, f"cinema_{step_restored:06d}")
     max_per_tile = tcfg.get("max_per_tile", 256)
@@ -201,9 +206,18 @@ def evaluate(config, iteration=None):
             if has_gt:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 if vgg_params is not None:
-                    from d3ga_tpu.train.evaluate import vgg_distance
+                    from d3ga_tpu.train.evaluate import (
+                        vgg_distance,
+                        vgg_metric_name,
+                    )
 
-                    metrics["vgg_dist"] = vgg_distance(vgg_params, pred, gt)
+                    metrics[vgg_metric_name(vgg_params)] = vgg_distance(
+                        vgg_params, pred, gt
+                    )
+                if lpips_params is not None:
+                    from d3ga_tpu.train.lpips import lpips_vgg
+
+                    metrics["lpips"] = float(lpips_vgg(lpips_params, pred, gt))
                 acc.add(metrics)
                 grid = jnp.concatenate([gt, pred, heat], axis=2)
                 pool.submit(

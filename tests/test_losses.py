@@ -156,3 +156,76 @@ class TestOptim:
             params, {}, zero_frozen=(("garments", "b", "scaling"),)
         )
         assert float(lr_tree["garments"]["b"]["scaling"]) == 0.0
+
+
+class TestLpipsHead:
+    """True LPIPS-VGG head (`recorder/heatmap.py:13,37-49`): loading +
+    forward machinery, so real weights exported by tools/export_lpips.py
+    drop in with zero code changes."""
+
+    def _fake_npz(self, tmp_path):
+        from d3ga_tpu.train.lpips import VGG16_CFG
+
+        rng = np.random.default_rng(0)
+        arrays = {}
+        in_ch, idx = 3, 0
+        for v in VGG16_CFG:
+            if v == "M":
+                continue
+            if idx > 12:
+                break
+            arrays[f"w{idx}"] = rng.standard_normal((v, in_ch, 3, 3)).astype(
+                np.float32
+            ) * np.sqrt(2.0 / (in_ch * 9))
+            arrays[f"b{idx}"] = np.zeros(v, np.float32)
+            in_ch, idx = v, idx + 1
+        chans = [64, 128, 256, 512, 512]
+        for i, c in enumerate(chans):
+            arrays[f"lin{i}"] = rng.uniform(0, 0.1, c).astype(np.float32)
+        path = str(tmp_path / "lpips_vgg.npz")
+        np.savez(path, **arrays)
+        return path
+
+    def test_load_and_forward(self, tmp_path):
+        from d3ga_tpu.train.lpips import init_lpips, lpips_vgg
+
+        params = init_lpips(self._fake_npz(tmp_path))
+        assert len(params["convs"]) == 13 and len(params["lins"]) == 5
+        k = jax.random.PRNGKey(0)
+        a = jax.random.uniform(k, (3, 64, 64))
+        b = jax.random.uniform(jax.random.fold_in(k, 1), (3, 64, 64))
+        d_ab = float(lpips_vgg(params, a, b))
+        d_aa = float(lpips_vgg(params, a, a))
+        assert np.isfinite(d_ab) and d_ab > 0
+        assert abs(d_aa) < 1e-6  # identical images -> zero distance
+        # small perturbation < big perturbation (metric is monotone-ish)
+        d_near = float(lpips_vgg(params, a, a + 0.01))
+        assert d_near < d_ab
+
+    def test_real_weights_if_present(self):
+        import os
+
+        import pytest
+
+        path = os.environ.get("D3GA_LPIPS_WEIGHTS", "lpips_vgg.npz")
+        if not os.path.exists(path):
+            pytest.skip("no real LPIPS weights in this environment")
+        from d3ga_tpu.train.lpips import init_lpips, lpips_vgg
+
+        params = init_lpips(path)
+        a = jnp.zeros((3, 64, 64))
+        b = jnp.ones((3, 64, 64))
+        assert float(lpips_vgg(params, a, b)) > 0.1
+
+
+class TestPerceptualMetricNaming:
+    def test_random_vgg_is_labeled(self):
+        from d3ga_tpu.train.evaluate import compute_errors, vgg_metric_name
+        from d3ga_tpu.train.losses import init_vgg19_features
+
+        params = init_vgg19_features()  # random fallback
+        assert vgg_metric_name(params) == "randvgg_dist"
+        k = jax.random.PRNGKey(0)
+        a = jax.random.uniform(k, (3, 32, 32))
+        out = compute_errors(a, a * 0.9, vgg_params=params)
+        assert "randvgg_dist" in out and "vgg_dist" not in out

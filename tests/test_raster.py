@@ -664,3 +664,69 @@ class TestBackwardVariants:
             f0 = float(loss(opac - d))
             fd = (f1 - f0) / (2 * eps)
             np.testing.assert_allclose(float(g[i, 0]), fd, rtol=5e-2, atol=5e-4)
+
+
+class TestBigGaussianOverflow:
+    """The dupsort selection clamps tile spans at `dup` tiles and must
+    COUNT every dropped (tile, Gaussian) pair (`tiles.py` clamp_dropped;
+    the reference's CUDA rasterizer is uncapped, `renderer.py:130-141`),
+    and train.py's automatic widening must converge to a config that
+    drops nothing."""
+
+    def _scene(self, w=128, h=96):
+        from helpers import test_camera
+
+        cam = test_camera(w=w, h=h, focal=80.0)
+        # one huge Gaussian centered in view: screen radius >> 4 tiles
+        means = jnp.array([[0.0, 0.0, 2.0]])
+        cov = jnp.array([[0.5, 0.0, 0.0, 0.5, 0.0, 0.5]])  # big iso
+        opac = jnp.array([0.9])
+        colors = jnp.array([[1.0, 0.0, 0.0]])
+        return cam, means, cov, opac, colors
+
+    def test_clamped_span_counts_drops(self):
+        cam, means, cov, opac, colors = self._scene()
+        img_d, aux_d = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=8, coarse="dupsort_tile", dup=4,
+        )
+        assert int(aux_d.overflow) > 0  # drops counted, never silent
+        # the 4x4-tile window renders; tiles beyond it miss the Gaussian
+        img_t, aux_t = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=8, coarse="topk",
+        )
+        assert int(aux_t.overflow) == 0
+        assert float(jnp.abs(img_t - img_d).max()) > 0.1  # real drops
+        # corner pixel is covered by topk but outside the dup window
+        assert float(img_t[0, 0, 0]) > 0.01
+        assert float(img_d[0, -1, -1]) < float(img_t[0, -1, -1]) + 1e-6
+
+    def test_widen_raster_opts_sequence(self):
+        import runpy
+        import sys
+
+        sys.path.insert(0, ".")
+        train_mod = runpy.run_path("train.py", run_name="not_main")
+        widen = train_mod["_widen_raster_opts"]
+        cfg = {"raster_opts": {"coarse": "dupsort_tile", "dup": 4}}
+        assert widen(cfg) and cfg["raster_opts"]["dup"] == 6
+        assert widen(cfg) and cfg["raster_opts"]["dup"] == 8
+        assert widen(cfg) and cfg["raster_opts"]["coarse"] == "topk"
+        assert not widen(cfg)  # terminal config: nothing left to widen
+
+    def test_widened_config_renders_big_gaussian(self):
+        cam, means, cov, opac, colors = self._scene()
+        img_t, _ = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=8, coarse="topk",
+        )
+        img_8, aux_8 = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=8, coarse="dupsort_tile", dup=8,
+        )
+        # 128x96 px = 8x6 tiles: dup=8 covers the full span -> identical
+        np.testing.assert_allclose(
+            np.asarray(img_8), np.asarray(img_t), atol=1e-6
+        )
+        assert int(aux_8.overflow) == 0

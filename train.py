@@ -39,6 +39,24 @@ def check_loss(metrics, iteration):
         raise ValueError("loss is NaN")
 
 
+def _widen_raster_opts(model_config) -> bool:
+    """One widening step of the raster selection caps after observed
+    overflow. dup 4 -> 6 -> 8, then the uncapped-span "topk" funnel.
+    Returns True if anything changed (caller must rebuild/recompile the
+    step). Mutating the config dict in place is safe: the jitted steps
+    capture it only at trace time."""
+    opts = model_config.setdefault("raster_opts", {})
+    if opts.get("coarse", "topk").startswith("dupsort"):
+        dup = int(opts.get("dup", 2))
+        if dup < 8:
+            opts["dup"] = min(dup + 2, 8)
+            return True
+        opts.pop("dup", None)
+        opts["coarse"] = "topk"
+        return True
+    return False
+
+
 def build_synthetic(config, split="train", return_teacher=False):
     """Self-consistent synthetic task: a hidden 'teacher' avatar (same
     architecture, different seed) renders the ground-truth images and
@@ -482,6 +500,26 @@ def training(config):
                 f"iter {iteration} | {1.0/dt:.2f} it/s | "
                 + " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
             )
+            # Automatic raster-cap widening: the dupsort selection clamps
+            # tile spans at `dup` tiles and COUNTS the drops (tiles.py
+            # `clamp_dropped` — "no silent caps"). The reference's CUDA
+            # rasterizer is uncapped (`renderer.py:130-141`), so any
+            # sustained overflow here widens dup (recompile) until drops
+            # stop; past dup=8 it falls back to the uncapped-span top_k
+            # funnel. Checked at log cadence (metrics are already on
+            # host); drops between checks are counted, never silent.
+            if (
+                not use_sharded
+                and metrics.get("raster_overflow", 0) > 0
+                and _widen_raster_opts(model.config)
+            ):
+                step_cache.clear()
+                chained_cache.clear()
+                logger.warning(
+                    f"[ITER {iteration}] raster overflow "
+                    f"{metrics['raster_overflow']:.0f}: widened raster_opts "
+                    f"to {model.config.get('raster_opts')} (recompiling)"
+                )
 
         if iteration % progress_n == 0:
             _, aux = render_frame(
