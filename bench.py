@@ -151,7 +151,7 @@ def main():
         sub_cap = int(os.environ.get("BENCH_SUB_CAP", "1024"))
         super_factor = int(os.environ.get("BENCH_SF", "1"))
         coarse = os.environ.get("BENCH_COARSE", "dupsort_tile")
-        dup = int(os.environ.get("BENCH_DUP", "4"))
+        dup = int(os.environ.get("BENCH_DUP", "3"))
 
         def loss_fn(means, cov6, opac, colors):
             img, _ = rasterize_tiled(
@@ -219,7 +219,7 @@ def main():
                     sub_cap=int(os.environ.get("BENCH_SUB_CAP", "1024")),
                     super_factor=int(os.environ.get("BENCH_SF", "1")),
                     coarse=os.environ.get("BENCH_COARSE", "dupsort_tile"),
-                    dup=int(os.environ.get("BENCH_DUP", "4")),
+                    dup=int(os.environ.get("BENCH_DUP", "3")),
                     use_pallas=use_pallas,
                 )
             )(means, cov6, opac, colors)

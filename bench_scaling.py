@@ -16,8 +16,15 @@ import os
 import time
 
 if os.environ.get("SCALING_FAKE_CPU", "0" if "COLAB" not in os.environ else "1") == "1":
+    # NOTE: virtual devices share the host's physical cores — with
+    # D > nproc the measurable efficiency is capped at nproc/D no
+    # matter how well the algorithm scales. Default to nproc devices.
+    _nd = os.environ.get("SCALING_DEVICES") or str(
+        min(8, os.cpu_count() or 8)
+    )
     os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_nd}"
     )
     import jax
 
@@ -61,14 +68,52 @@ def main():
     bg = jnp.zeros(3)
 
     def measure(n_model):
+        """Per-step time of the BANDED training objective (what the
+        sharded train step runs: tile-band raster, halo-SSIM-style
+        band-local loss, no image all-gather; dist/banded.py)."""
+        from functools import partial
+
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from d3ga_tpu.dist.banded import banded_mean, banded_ssim
+        from d3ga_tpu.dist.raster_shard import rasterize_collective
+
         mesh = make_mesh(data=1, model=n_model)
+        nty = -(-H // 16)
+        bh = -(-nty // n_model) * 16
+
+        n = means.shape[0]
+        padn = (-n) % n_model
+
+        def padg(x):
+            return jnp.pad(x, [(0, padn)] + [(0, 0)] * (x.ndim - 1)) if padn else x
+
+        def banded_loss(m_local, cov_l, op_l, col_l):
+            img_band, _ = rasterize_collective(
+                m_local, camera, bg, axis="model", n_shards=n_model,
+                cov3d=cov_l, opacities=op_l, colors=col_l,
+                max_per_tile=MAX_PER_TILE, banded=True,
+                shard_select=True, dup=3,
+            )
+            my = jax.lax.axis_index("model")
+            rows = my * bh + jnp.arange(bh)
+            valid = (rows < H).astype(jnp.float32)[None, :, None]
+            tgt = jnp.pad(target, ((0, 0), (0, n_model * bh - H), (0, 0)))
+            tgt = jax.lax.dynamic_slice_in_dim(tgt, my * bh, bh, axis=1)
+            l1 = banded_mean(jnp.abs(img_band - tgt) * valid, valid, "model")
+            s = banded_ssim(img_band * valid, tgt * valid, valid, "model", n_model)
+            return 0.8 * l1 + 0.2 * (1.0 - s)
+
+        shard, rep = P("model"), P()
+        sharded = jax.shard_map(
+            banded_loss, mesh=mesh,
+            in_specs=(shard, shard, shard, shard),
+            out_specs=rep, check_vma=False,
+        )
 
         def loss(m):
-            img, _ = rasterize_sharded(
-                mesh, m, camera, bg, cov3d=cov6, opacities=opac,
-                colors=colors, max_per_tile=MAX_PER_TILE,
-            )
-            return jnp.mean(jnp.abs(img - target))
+            return sharded(padg(m), padg(cov6), padg(opac), padg(colors))
 
         @jax.jit
         def run(m):

