@@ -881,7 +881,7 @@ def rasterize_tiled_fused(
 
     variant=1: banded one-hot matmul compaction (pallas_fused.py);
     variant=2: butterfly lane-roll compaction (pallas_fused2.py)."""
-    from d3ga_tpu.raster.pallas_fused import BLOCK, fused_select_blend
+    from d3ga_tpu.raster.attic.pallas_fused import BLOCK, fused_select_blend
 
     # Pallas TPU kernels only run compiled on TPU; fall back to the
     # interpreter elsewhere (CPU tests, virtual meshes, dryruns).
@@ -959,7 +959,7 @@ def rasterize_tiled_fused(
     )  # [NB, kb]
 
     if variant == 2:
-        from d3ga_tpu.raster.pallas_fused2 import fused_select_blend2
+        from d3ga_tpu.raster.attic.pallas_fused2 import fused_select_blend2
 
         tiles, counts = fused_select_blend2(
             jnp.transpose(vals, (0, 2, 1)),       # [NB, 16, kb]

@@ -1,10 +1,23 @@
 """Fused select+compact+blend kernel vs the reference XLA pipeline
 (interpret mode on CPU; compiled-parity runs on-chip via
-tools/pallas_parity.py)."""
+tools/pallas_parity.py).
+
+The fused kernels are ATTIC variants (measured dead ends, see
+d3ga_tpu/raster/attic/): these tests only run with D3GA_TEST_ATTIC=1
+so default CI doesn't pay for them."""
+
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+if os.environ.get("D3GA_TEST_ATTIC", "0") != "1":
+    pytest.skip(
+        "attic kernel variants (set D3GA_TEST_ATTIC=1 to test)",
+        allow_module_level=True,
+    )
 
 from test_raster import random_scene, simple_camera
 

@@ -14,7 +14,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from d3ga_tpu.raster import pallas_fused as F
+from d3ga_tpu.raster.attic import pallas_fused as F
 from tools.fused_probe import make_inputs
 
 K, C, NB, NC = 256, 3, 2, 4

@@ -22,8 +22,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
-from d3ga_tpu.raster.pallas_fused import CHUNK, fused_select_blend
-from d3ga_tpu.raster.pallas_fused2 import fused_select_blend2
+from d3ga_tpu.raster.attic.pallas_fused import CHUNK, fused_select_blend
+from d3ga_tpu.raster.attic.pallas_fused2 import fused_select_blend2
 
 VARIANT = int(os.environ.get("FUSED_VARIANT", "1"))
 
