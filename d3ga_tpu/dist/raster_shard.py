@@ -221,10 +221,15 @@ def rasterize_collective(
             xy_t, conic_t, color_t, opac_t, sel_valid, bg_color, origin
         )  # [tiles_per_shard, 256, C+1]
 
+    from d3ga_tpu.raster.tiles import visible_cap_drops
+
+    tbg_tiles = 1.0 - my_tiles[..., -1].min(axis=1)  # alpha last channel
     aux = RasterAux(
         overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
         max_per_tile=jnp.max(counts),
         n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
+        visible_overflow=visible_cap_drops(tbg_tiles, counts, max_per_tile)
+        + block_overflow,
     )
     image = _assemble_image(
         my_tiles, my, axis, n_shards, tiles_per_shard,
@@ -357,10 +362,14 @@ def _rasterize_shard_select(
             rec_t[..., 5], live, bg_color, origin,
         )
 
+    from d3ga_tpu.raster.tiles import visible_cap_drops
+
+    tbg_tiles = 1.0 - my_tiles[..., -1].min(axis=1)
     aux = RasterAux(
         overflow=jnp.sum(jnp.maximum(counts - K, 0)) + drop_l,
         max_per_tile=jnp.max(counts),
         n_contrib=jnp.sum(eff),
+        visible_overflow=visible_cap_drops(tbg_tiles, counts, K) + drop_l,
     )
     image = _assemble_image(
         my_tiles, my, axis, n_shards, tiles_per_shard,

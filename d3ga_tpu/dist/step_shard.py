@@ -204,6 +204,7 @@ def make_sharded_train_step(
             total = 0.0
             psnr = 0.0
             overflow = jnp.int32(0)
+            vis_overflow = jnp.int32(0)
             term_sums: Dict[str, jnp.ndarray] = {}
             my_data = jax.lax.axis_index("data")
             for b in range(b_local):
@@ -248,6 +249,9 @@ def make_sharded_train_step(
                 total = total + total_loss(terms)
                 psnr = psnr + aux["psnr"]
                 overflow = overflow + aux.get("raster_overflow", 0)
+                vis_overflow = vis_overflow + aux.get(
+                    "raster_visible_overflow", 0
+                )
                 for k, v in terms.items():
                     term_sums[k] = term_sums.get(k, 0.0) + v
             scale = 1.0 / (batch_size * m)
@@ -262,6 +266,9 @@ def make_sharded_train_step(
             # selection-cap drops, raw count ("no silent caps")
             metrics["raster_overflow"] = jax.lax.psum(
                 jax.lax.psum(overflow, "model"), "data"
+            ).astype(jnp.float32)
+            metrics["raster_visible_overflow"] = jax.lax.psum(
+                jax.lax.psum(vis_overflow, "model"), "data"
             ).astype(jnp.float32)
             return loss, metrics
 

@@ -69,6 +69,28 @@ class RasterAux(NamedTuple):
     overflow: jnp.ndarray      # [] int32: Gaussians dropped past the K cap
     max_per_tile: jnp.ndarray  # [] int32: max overlap count over tiles
     n_contrib: jnp.ndarray     # [] int32: total selected entries
+    # drops that could have been SEEN: per-tile-cap drops only count
+    # when the tile's final background transmittance is still above the
+    # CUDA termination threshold (the dropped entries are the DEEPEST;
+    # with T_bg <= 1e-4 the uncapped kernel would have terminated before
+    # them too — provably benign). Span-clamp drops (dupsort dup window)
+    # are depth-unaware and always counted. -1 = not computed (paths
+    # that don't return per-tile transmittance).
+    visible_overflow: jnp.ndarray = jnp.int32(-1)
+
+
+def visible_cap_drops(t_bg_max, counts, K):
+    """Per-tile-cap drops that could have been SEEN. The dropped
+    entries are the DEEPEST (ranks beyond K), so front-to-back
+    compositing bounds their total contribution to any pixel by that
+    pixel's remaining transmittance: |capped - uncapped| <= t_bg
+    per channel. A tile whose max t_bg is below one 8-bit LSB (1/255)
+    therefore renders identically to the uncapped reference kernel
+    (`renderer.py:130-141`) up to quantization — provably benign.
+    t_bg_max: [T] per-tile max over pixels of the final transmittance;
+    counts: [T] true candidate counts."""
+    dropped = jnp.maximum(counts - K, 0)
+    return jnp.sum(jnp.where(t_bg_max > ALPHA_SKIP, dropped, 0))
 
 
 def reorder_records(records, radius, valid, order, batched=False):
@@ -1262,6 +1284,9 @@ def rasterize_tiled(
                 out[:C] + out[C:] * jnp.asarray(bg_color)[:, None, None]
             )[:, :H, :W]
             alpha_img = 1.0 - out[C, :H, :W]
+            tbg_tiles = out[C].reshape(n_tiles_y, TILE, n_tiles_x, TILE).max(
+                (1, 3)
+            ).reshape(-1)
         else:
             out = blend_image_rec(
                 rec_t, jnp.minimum(counts, max_per_tile),
@@ -1271,11 +1296,16 @@ def rasterize_tiled(
             img = jnp.concatenate([rgb, 1.0 - out[..., C:]], axis=-1)[:H, :W]
             image = jnp.transpose(img[..., :C], (2, 0, 1))
             alpha_img = img[..., C]
+            tbg_tiles = out[..., C].reshape(
+                n_tiles_y, TILE, n_tiles_x, TILE
+            ).max((1, 3)).reshape(-1)
 
         aux = RasterAux(
             overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
             max_per_tile=jnp.max(counts),
             n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
+            visible_overflow=visible_cap_drops(tbg_tiles, counts, max_per_tile)
+            + block_overflow,
         )
         if return_alpha:
             return image, alpha_img, aux
@@ -1303,10 +1333,14 @@ def rasterize_tiled(
     )[:H, :W]
     image = jnp.transpose(img[..., :C], (2, 0, 1))
 
+    # _blend_tiles' last channel is alpha = 1 - T_bg
+    tbg_tiles = 1.0 - tiles[..., C].min(axis=1)
     aux = RasterAux(
         overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
         max_per_tile=jnp.max(counts),
         n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
+        visible_overflow=visible_cap_drops(tbg_tiles, counts, max_per_tile)
+        + block_overflow,
     )
     if return_alpha:
         return image, img[..., C], aux

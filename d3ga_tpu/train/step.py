@@ -217,6 +217,7 @@ def render_frame(
         )
         terms.update(_pkg_terms(pkg, loss_weights))
         aux["raster_overflow"] = aux_rgb.overflow
+        aux["raster_visible_overflow"] = aux_rgb.visible_overflow
         return terms, aux
 
     # Ground-truth composition (`train.py:181-189`).
@@ -302,6 +303,7 @@ def render_frame(
         "pred_silhouette": pred_sil,
         "gt_silhouette": gt_sil,
         "raster_overflow": aux_rgb.overflow,
+        "raster_visible_overflow": aux_rgb.visible_overflow,
         "psnr": masked_psnr(pred_image, gt_image, valid_mask),
     }
     return terms, aux
@@ -457,6 +459,9 @@ def make_train_step(
         metrics["total_loss"] = loss
         metrics["psnr"] = aux["psnr"]
         metrics["raster_overflow"] = aux["raster_overflow"]
+        metrics["raster_visible_overflow"] = aux.get(
+            "raster_visible_overflow", -1
+        )
         return params, opt_state, metrics
 
     step = jax.jit(_step_body, donate_argnums=(0, 1) if donate else ())

@@ -730,3 +730,66 @@ class TestBigGaussianOverflow:
             np.asarray(img_8), np.asarray(img_t), atol=1e-6
         )
         assert int(aux_8.overflow) == 0
+
+
+class TestVisibleOverflow:
+    """`visible_cap_drops`: per-tile-cap drops are benign (not counted)
+    when the tile's final transmittance is already exhausted — the
+    uncapped CUDA kernel terminates at T < 1e-4 too
+    (`renderer.py:130-141`)."""
+
+    def _stack(self, n, opac_val, w=32, h=32):
+        from helpers import test_camera
+
+        cam = test_camera(w=w, h=h, focal=60.0)
+        # n identical LARGE Gaussians (footprint covers every tile of
+        # the image — the per-tile max-transmittance criterion is sound
+        # but conservative, so the benign case needs full coverage)
+        means = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (n, 1))
+        means = means + jnp.linspace(0, 0.01, n)[:, None] * jnp.array([0, 0, 1.0])
+        cov = jnp.tile(jnp.array([[4.0, 0, 0, 4.0, 0, 4.0]]), (n, 1))
+        opac = jnp.full((n,), opac_val)
+        colors = jnp.tile(jnp.array([[1.0, 0.5, 0.2]]), (n, 1))
+        return cam, means, cov, opac, colors
+
+    def test_opaque_overcap_is_benign(self):
+        cam, means, cov, opac, colors = self._stack(48, 0.95)
+        img, aux = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=16,
+        )
+        assert int(aux.overflow) > 0              # raw cap drops counted
+        assert int(aux.visible_overflow) == 0     # ...but provably unseen
+        # the capped image equals the uncapped one
+        ref, _ = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=64,
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+
+    def test_translucent_overcap_is_visible(self):
+        cam, means, cov, opac, colors = self._stack(48, 0.02)
+        img, aux = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=16,
+        )
+        assert int(aux.overflow) > 0
+        assert int(aux.visible_overflow) > 0      # drops actually show
+        ref, _ = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=64,
+        )
+        assert float(jnp.abs(img - ref).max()) > 1e-3
+
+    def test_pallas_path_matches_xla_counter(self):
+        cam, means, cov, opac, colors = self._stack(48, 0.95)
+        _, aux_x = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=16,
+        )
+        _, aux_p = rasterize_tiled(
+            means, cam, jnp.zeros(3), cov3d=cov, opacities=opac,
+            colors=colors, max_per_tile=16, use_pallas=True,
+            coarse="dupsort_tile", dup=4,
+        )
+        assert int(aux_p.visible_overflow) == int(aux_x.visible_overflow)

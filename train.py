@@ -504,15 +504,18 @@ def training(config):
             # tile spans at `dup` tiles and COUNTS the drops (tiles.py
             # `clamp_dropped` — "no silent caps"). The reference's CUDA
             # rasterizer is uncapped (`renderer.py:130-141`), so any
-            # sustained overflow here widens dup (recompile) until drops
-            # stop; past dup=8 it falls back to the uncapped-span top_k
-            # funnel. Checked at log cadence (metrics are already on
-            # host); drops between checks are counted, never silent.
-            if (
-                not use_sharded
-                and metrics.get("raster_overflow", 0) > 0
-                and _widen_raster_opts(model.config)
-            ):
+            # sustained VISIBLE overflow here widens dup (recompile)
+            # until drops stop; past dup=8 it falls back to the
+            # uncapped-span top_k funnel. Keyed on visible_overflow:
+            # per-tile-cap drops behind an exhausted transmittance are
+            # provably benign (tiles.visible_cap_drops) and must not
+            # trigger recompiles. Checked at log cadence (metrics are
+            # already on host); drops between checks are counted, never
+            # silent.
+            vo = metrics.get("raster_visible_overflow", -1)
+            if vo < 0:  # path that doesn't compute it: be conservative
+                vo = metrics.get("raster_overflow", 0)
+            if not use_sharded and vo > 0 and _widen_raster_opts(model.config):
                 step_cache.clear()
                 chained_cache.clear()
                 logger.warning(
