@@ -150,7 +150,7 @@ def main():
         sub_block = int(os.environ.get("BENCH_SUB_BLOCK", "4"))
         sub_cap = int(os.environ.get("BENCH_SUB_CAP", "1024"))
         super_factor = int(os.environ.get("BENCH_SF", "1"))
-        coarse = os.environ.get("BENCH_COARSE", "dupsort_tile")
+        coarse = os.environ.get("BENCH_COARSE", "dupsort_depth")
         dup = int(os.environ.get("BENCH_DUP", "3"))
 
         def loss_fn(means, cov6, opac, colors):
@@ -218,7 +218,7 @@ def main():
                     sub_block=int(os.environ.get("BENCH_SUB_BLOCK", "4")),
                     sub_cap=int(os.environ.get("BENCH_SUB_CAP", "1024")),
                     super_factor=int(os.environ.get("BENCH_SF", "1")),
-                    coarse=os.environ.get("BENCH_COARSE", "dupsort_tile"),
+                    coarse=os.environ.get("BENCH_COARSE", "dupsort_depth"),
                     dup=int(os.environ.get("BENCH_DUP", "3")),
                     use_pallas=use_pallas,
                 )

@@ -56,7 +56,7 @@ def main():
         cage_res=3,
         config_overrides={
             "raster_backend": "pallas_blend",
-            "raster_opts": {"coarse": "dupsort_tile", "dup": 3},
+            "raster_opts": {"coarse": "dupsort_depth", "dup": 3},
         },
     )
     params = init_avatar(jax.random.PRNGKey(0), model)
