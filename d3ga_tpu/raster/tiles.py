@@ -46,8 +46,13 @@ from d3ga_tpu.raster.project import project_gaussians, tile_rect
 #               through the dup-sort as a sort payload; the backward
 #               becomes a collision-free scatter-SET into [dup^2*N, CR]
 #               plus a dense (dup^2, N, CR) axis-0 sum. No combiner, no
-#               read-modify-write.
-REC_GRAD = os.environ.get("D3GA_REC_GRAD", "add")
+#               read-modify-write. (dupsort_tile only; measured SLOWER —
+#               the 16N-row scatter is catastrophic, PERF_NOTES.md.)
+#   "slotmap" — (dupsort_depth only) invert the selection sort once
+#               (one extra [m] sort + dense cummax) so every gradient
+#               row's destination is construction-known; the backward is
+#               a [N, dup^2, CR] GATHER + dense sum — no scatter at all.
+REC_GRAD = os.environ.get("D3GA_REC_GRAD", "slotmap")
 # Depth-reorder strategy: "argsort" (argsort + row gather) or
 # "sortpayload" (ONE multi-operand lax.sort carrying all record
 # columns as payloads).
@@ -274,6 +279,43 @@ def _gather_dupslot_bwd(dup2, res, g):
 gather_records_dupslot.defvjp(_gather_dupslot_fwd, _gather_dupslot_bwd)
 
 
+@jax.custom_vjp
+def gather_records_slotmap(records_ext, idx, slot_map):
+    """Per-tile record gather [T, K] rows of records_ext [N+1, CR] whose
+    BACKWARD is a construction-known-position GATHER instead of the XLA
+    gather-transpose scatter-add (13.9 ms wall at Goliath scale,
+    PERF_NOTES.md "Scatter facts"): slot_map [N, dup^2] holds, for each
+    Gaussian and duplicate offset, the flat slot t*K + k its record
+    landed in (sentinel T*K when unselected — reads a zero row), so
+
+        d records[i] = sum_d g_ext[slot_map[i, d]]
+
+    is a [N*dup^2]-row gather plus a dense axis-1 sum. slot_map comes
+    from `_select_per_tile_depthkey(..., return_slotmap=True)`. The CUDA
+    reference's backward instead re-walks tiles back-to-front and
+    atomically accumulates per-Gaussian gradients
+    (`/root/reference/renderer.py:122-141`, SURVEY.md §3.5)."""
+    return records_ext[idx]
+
+
+def _gather_slotmap_fwd(records_ext, idx, slot_map):
+    return records_ext[idx], (idx.shape, slot_map, records_ext.shape[0])
+
+
+def _gather_slotmap_bwd(res, g):
+    (T, K), slot_map, n_ext = res
+    cr = g.shape[-1]
+    g_ext = jnp.concatenate(
+        [g.reshape(T * K, cr), jnp.zeros((1, cr), g.dtype)], axis=0
+    )
+    drec = g_ext[slot_map].sum(axis=1)        # [N, dup2, CR] -> [N, CR]
+    dre = jnp.concatenate([drec, jnp.zeros((1, cr), g.dtype)], axis=0)
+    return (dre, None, None)
+
+
+gather_records_slotmap.defvjp(_gather_slotmap_fwd, _gather_slotmap_bwd)
+
+
 def _select_per_tile_dupsort(
     rects, valid_sorted, n_tiles_x, n_tiles_y, K, dup=4, return_q=False
 ):
@@ -357,7 +399,8 @@ def _select_per_tile_dupsort(
 
 
 def _select_per_tile_depthkey(
-    rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=4, return_depth=False
+    rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=4, return_depth=False,
+    return_slotmap=False,
 ):
     """Per-tile selection via lexicographic (tile|depth, index) keys —
     the full CUDA pipeline analog (`/root/reference/renderer.py:130-141`:
@@ -375,9 +418,23 @@ def _select_per_tile_depthkey(
     whenever depths are distinct at depth_bits). Spans past `dup` tiles
     are clamped and counted.
 
+    return_slotmap=True additionally returns slot_by_flat [N, dup*dup]
+    int32: for Gaussian i and duplicate-offset d, the flat slot t*K + k
+    its record landed in (sentinel T*K when unselected) — every selected
+    entry's gradient row position is CONSTRUCTION-known, so the record
+    gather's backward becomes a gather + dense sum instead of the XLA
+    gather-transpose scatter-add (the 13.9 ms wall line, PERF_NOTES.md
+    "Scatter facts"). To make the flat duplicate id ride the sort for
+    free, the tie-break operand becomes flat = i*dup^2 + d, which orders
+    identically to i (a Gaussian never emits two keys for one tile, so
+    within equal hi all flats belong to distinct Gaussians and
+    i1 < i2 <=> flat1 < flat2); i is recovered as flat // dup^2. The
+    inverse permutation costs ONE extra [m] sort plus a dense cummax
+    (segment starts) — no scatter anywhere.
+
     Inputs are in ORIGINAL (unsorted) Gaussian order. Returns
     (idx [T, K] int32 original indices with -1 padding, counts [T],
-    overflow [])."""
+    overflow [], *extras)."""
     xmin, xmax, ymin, ymax = rects
     n = xmin.shape[0]
     T = n_tiles_x * n_tiles_y
@@ -403,9 +460,15 @@ def _select_per_tile_depthkey(
     ) & ((1 << depth_bits) - 1)
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     sentinel = jnp.int32(T << depth_bits)
+    dup2 = dup * dup
+    assert not (return_depth and return_slotmap)
+    assert not return_slotmap or n * dup2 < 2**31, (
+        "flat duplicate id would overflow int32"
+    )
 
     his = []
     los = []
+    d_off = 0
     for dy in range(dup):
         for dx in range(dup):
             tx = xmin + dx
@@ -413,7 +476,8 @@ def _select_per_tile_depthkey(
             ok = (~empty) & (tx <= xc) & (ty <= yc)
             tid = ty * n_tiles_x + tx
             his.append(jnp.where(ok, (tid << depth_bits) | dq, sentinel))
-            los.append(gidx)
+            los.append(gidx * dup2 + d_off if return_slotmap else gidx)
+            d_off += 1
     if return_depth:
         # carry the full f32 depth as a sort payload (feeds the sharded
         # all_to_all merge in dist/raster_shard.py — avoids a [T, K]
@@ -436,7 +500,7 @@ def _select_per_tile_depthkey(
     counts = starts[1:] - starts[:-1]
     kk = min(K, m)
     idx2 = jnp.minimum(starts[:-1, None] + jnp.arange(kk, dtype=jnp.int32)[None], m - 1)
-    seg = lo_s[idx2]
+    seg = lo_s[idx2] // dup2 if return_slotmap else lo_s[idx2]
     j = jax.lax.broadcasted_iota(jnp.int32, (T, kk), 1)
     live = j < jnp.minimum(counts, kk)[:, None]
     out = jnp.where(live, seg, jnp.int32(-1))
@@ -447,6 +511,27 @@ def _select_per_tile_depthkey(
         if K > kk:
             dsel = jnp.pad(dsel, ((0, 0), (0, K - kk)), constant_values=jnp.inf)
         return out, counts, clamp_dropped, dsel
+    if return_slotmap:
+        # Every sorted position p belongs to exactly one (tile, rank)
+        # slot: t(p) from the key's high bits, k(p) = p - segment_start
+        # via a dense cummax (no gathers). Inverting p(flat) is ONE
+        # [m] sort — lax.sort of (flat_s, slot_p) — because flat_s is a
+        # permutation of 0..m-1 (every (i, d) emits exactly one key,
+        # dead ones with a sentinel tile).
+        t_of_p = jax.lax.shift_right_logical(hi_s, depth_bits)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).squeeze(-1)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), t_of_p[1:] != t_of_p[:-1]]
+        )
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, pidx, 0)
+        )
+        k_of_p = pidx - seg_start
+        slot_p = jnp.where(
+            (t_of_p < T) & (k_of_p < kk), t_of_p * K + k_of_p, T * K
+        )
+        _, slot_by_flat = jax.lax.sort((lo_s, slot_p), num_keys=1)
+        return out, counts, clamp_dropped, slot_by_flat.reshape(n, dup2)
     return out, counts, clamp_dropped
 
 
@@ -1199,15 +1284,24 @@ def rasterize_tiled(
         [proj.xy, proj.conic, proj.opacity[:, None], proj.color], axis=-1
     )
 
+    slot_map = None
     if coarse == "dupsort_depth":
         # (tile | depth | index) key sort: no global depth argsort and
         # no record reordering at all — per-tile lists come out
         # front-to-back holding ORIGINAL Gaussian indices.
         rects = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
-        ranks, counts, block_overflow = _select_per_tile_depthkey(
-            rects, valid, proj.depth, n_tiles_x, n_tiles_y, max_per_tile,
-            dup=dup,
-        )
+        if use_pallas and REC_GRAD == "slotmap":
+            ranks, counts, block_overflow, slot_map = (
+                _select_per_tile_depthkey(
+                    rects, valid, proj.depth, n_tiles_x, n_tiles_y,
+                    max_per_tile, dup=dup, return_slotmap=True,
+                )
+            )
+        else:
+            ranks, counts, block_overflow = _select_per_tile_depthkey(
+                rects, valid, proj.depth, n_tiles_x, n_tiles_y, max_per_tile,
+                dup=dup,
+            )
         sel_valid = ranks >= 0
         dup_q = None
     else:
@@ -1271,6 +1365,8 @@ def rasterize_tiled(
         idx = jnp.where(sel_valid, ranks, jnp.int32(records.shape[0]))
         if dup_q is not None:
             rec_t = gather_records_dupslot(records_ext, idx, dup_q, dup * dup)
+        elif slot_map is not None:
+            rec_t = gather_records_slotmap(records_ext, idx, slot_map)
         else:
             rec_t = records_ext[idx]  # [T, K, 6+C]
         if BLEND_LAYOUT == "ct":

@@ -665,6 +665,46 @@ class TestBackwardVariants:
             fd = (f1 - f0) / (2 * eps)
             np.testing.assert_allclose(float(g[i, 0]), fd, rtol=5e-2, atol=5e-4)
 
+    @pytest.mark.parametrize("k,n", [(32, 300), (16, 600)])
+    def test_slotmap_grads_bitmatch_scatter_add(self, monkeypatch, k, n):
+        """The slot-map backward (construction-known gradient-row
+        positions; no scatter) must be BIT-identical to the XLA
+        scatter-add transpose on the dupsort_depth champion path —
+        including tiles past the K cap (dead slots read the zero
+        sentinel) and clamped dup spans."""
+        import d3ga_tpu.raster.tiles as tiles
+
+        cam = simple_camera(w=80, h=56)
+        means, scales, rots, opac, colors = random_scene(
+            jax.random.PRNGKey(11), n=n
+        )
+
+        def loss(means, scales, rots, opac, colors):
+            img, aux = rasterize_tiled(
+                means, cam, jnp.array([0.1, 0.2, 0.3]),
+                scales=scales, rotations=rots, opacities=opac,
+                colors=colors, max_per_tile=k, coarse="dupsort_depth",
+                dup=2, use_pallas=True, pallas_interpret=True,
+            )
+            return jnp.sum(img**2), (img, aux)
+
+        monkeypatch.setattr(tiles, "REC_GRAD", "add")
+        (_, (ref_img, ref_aux)), ref_g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(means, scales, rots, opac, colors)
+
+        monkeypatch.setattr(tiles, "REC_GRAD", "slotmap")
+        (_, (img2, aux2)), g2 = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(means, scales, rots, opac, colors)
+
+        # exercise the overflow/dead-slot machinery for real
+        if k == 16:
+            assert int(ref_aux.overflow) > 0
+        assert np.array_equal(np.asarray(img2), np.asarray(ref_img))
+        for a, b in zip(ref_g, g2):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestBigGaussianOverflow:
     """The dupsort selection clamps tile spans at `dup` tiles and must
