@@ -5,9 +5,7 @@ N steps per dispatch (`make_chained_step`) like a production loop.
 
 Prints ONE JSON line {"metric": "train_step_throughput", ...} in
 steps/s. Complements bench.py (raster-only fwd+bwd): this is the
-number a user training an avatar actually experiences
-(`/root/reference/train.py` trains ~5-7 it/s at 1024x667 on a modern
-GPU per the authors' 2-day/400k-iter setup — BASELINE.md).
+number a user training an avatar actually experiences.
 
 Env knobs: TRAINB_H/W (image), TRAINB_N (total Gaussians), TRAINB_K
 (max per tile), TRAINB_CHAIN (steps per dispatch), TRAINB_ITERS.
@@ -36,7 +34,16 @@ N_TOTAL = int(os.environ.get("TRAINB_N", "135000"))
 K = int(os.environ.get("TRAINB_K", "256"))
 CHAIN = int(os.environ.get("TRAINB_CHAIN", "10"))
 ITERS = int(os.environ.get("TRAINB_ITERS", "20"))
-BASELINE_STEPS_S = 6.0  # reference GPU training throughput estimate
+# The reference publishes exactly one throughput-adjacent number: the
+# training budget of 400k iterations in ~2 days on one modern CUDA GPU
+# (README.md training section / configs/goliath_axe184.yml:42) ->
+# 400_000 / (2 * 86_400 s) = 2.31 steps/s END-TO-END WALL, including
+# the reference's host data pipeline (DataLoader workers, AVIF decode).
+# This bench feeds synthetic device-resident data, so vs_baseline
+# overstates a pure-compute comparison; the compute-only comparison is
+# bench.py's raster Mpix/s line. Both are reported so neither number
+# has to stretch past what it measures.
+BASELINE_STEPS_S = 400_000 / (2 * 86_400)  # = 2.31 steps/s
 
 
 def main():
@@ -120,6 +127,13 @@ def main():
                 "n_gaussians": int(n_gauss),
                 "n_params": int(n_params),
                 "chain": CHAIN,
+                "baseline_steps_s": round(BASELINE_STEPS_S, 3),
+                "baseline_provenance": (
+                    "400k iterations / 2 days single-GPU training budget"
+                    " (reference README + goliath_axe184.yml:42); includes"
+                    " the reference's host data pipeline — this bench"
+                    " feeds synthetic device-resident data"
+                ),
             }
         )
     )

@@ -3,17 +3,28 @@ blend, connected by one all-gather of the projected records over ICI.
 
 This is the multi-chip counterpart of the CUDA reference's single-GPU
 tile binning (new design — the reference has no distributed layer,
-SURVEY.md §2.2). Within a "model" mesh-axis group:
+SURVEY.md §2.2). Within a "model" mesh-axis group, at the production
+defaults (`dist/step_shard.py`: banded=True, shard_select=True):
 
   1. each device projects its N/m Gaussian shard (EWA preprocess),
   2. the ~13-float records are all-gathered over the axis (~7 MB for
      135k Gaussians — cheap on ICI; the transpose of this gather is the
      psum-scatter that routes pixel gradients back to Gaussian shards),
-  3. each device depth-sorts the full record set (redundant but tiny:
-     one 135k argsort) and rasterizes only its tile slice,
-  4. the finished tile blocks are all-gathered to rebuild the image
-     (replicated within the group) so window-based losses (SSIM/VGG)
-     can run; its transpose scatters image gradients back to tile owners.
+  3. sharded selection (`_rasterize_shard_select`): each device builds
+     per-tile front-K lists from its OWN N/m shard only, all_to_all
+     routes each tile's m partial lists to the tile's owner, and a
+     batched (depth, idx) merge produces the final front-K — no device
+     ever sorts the full duplicated key set and nothing global is
+     argsorted or reordered,
+  4. each device blends only its T/m row-aligned tile slice and the
+     image STAYS sharded: losses run banded with a halo exchange
+     (`dist/banded.py`) — no image all-gather, no replicated SSIM.
+
+Legacy modes kept for parity testing: shard_select=False makes every
+device select from the full gathered record set (redundant O(m) work);
+banded=False all-gathers the finished tile blocks into a replicated
+image. Both are measured slower (SCALING_r03.json) and are not the
+step_shard defaults.
 
 All functions here are designed to run INSIDE shard_map.
 """

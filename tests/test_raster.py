@@ -753,7 +753,47 @@ class TestBigGaussianOverflow:
         assert widen(cfg) and cfg["raster_opts"]["dup"] == 6
         assert widen(cfg) and cfg["raster_opts"]["dup"] == 8
         assert widen(cfg) and cfg["raster_opts"]["coarse"] == "topk"
-        assert not widen(cfg)  # terminal config: nothing left to widen
+        assert not widen(cfg)  # no train cfg: nothing left to widen
+
+        # with the train config, the per-tile record budget escalates
+        # after the funnel is span-uncapped (256 -> 384 -> 512), then
+        # the config is terminal
+        cfg = {"raster_opts": {"coarse": "dupsort_depth", "dup": 8}}
+        tcfg = {"max_per_tile": 256}
+        assert widen(cfg, tcfg) and cfg["raster_opts"]["coarse"] == "topk"
+        assert widen(cfg, tcfg) and tcfg["max_per_tile"] == 384
+        assert widen(cfg, tcfg) and tcfg["max_per_tile"] == 512
+        assert not widen(cfg, tcfg)
+
+    def test_training_loop_escalates_max_per_tile(self, tmp_path):
+        """FULLRES-style trigger: deep translucent tiles overflow a tiny
+        per-tile budget with transmittance still live, and the training
+        loop must raise max_per_tile automatically (recompile), mirroring
+        the dup auto-widening — the reference rasterizer has no cap at
+        all (`/root/reference/renderer.py:130-141`)."""
+        import runpy
+        import sys
+
+        import yaml
+
+        sys.path.insert(0, ".")
+        cfg = yaml.safe_load(open("configs/synthetic_smoke.yml"))
+        cfg["n_gaussians"] = 512
+        cfg["image_height"] = cfg["image_width"] = 64
+        cfg["train"].update(
+            {
+                "iterations": 2,
+                "log_n_steps": 1,
+                "checkpoint_n_steps": 100,
+                "run_dir": str(tmp_path / "run"),
+                "max_per_tile": 8,
+                "raster_opts": {"coarse": "topk"},
+            }
+        )
+        train_mod = runpy.run_path("train.py", run_name="not_main")
+        train_mod["training"](cfg)
+        # span-uncapped funnel + visible cap overflow -> K escalated
+        assert cfg["train"]["max_per_tile"] > 8
 
     def test_widened_config_renders_big_gaussian(self):
         cam, means, cov, opac, colors = self._scene()

@@ -39,12 +39,15 @@ def check_loss(metrics, iteration):
         raise ValueError("loss is NaN")
 
 
-def _widen_raster_opts(model_config) -> bool:
+def _widen_raster_opts(model_config, train_config=None) -> bool:
     """One widening step of the raster selection caps after observed
-    overflow. dup 4 -> 6 -> 8, then the uncapped-span "topk" funnel.
+    overflow. dup 4 -> 6 -> 8, then the uncapped-span "topk" funnel,
+    then (the last remaining static cap, matching the uncapped CUDA
+    reference `renderer.py:130-141`) the per-tile record budget
+    max_per_tile 256 -> 384 -> 512 in 128-lane increments.
     Returns True if anything changed (caller must rebuild/recompile the
-    step). Mutating the config dict in place is safe: the jitted steps
-    capture it only at trace time."""
+    step). Mutating the config dicts in place is safe: the jitted steps
+    capture them only at trace time."""
     opts = model_config.setdefault("raster_opts", {})
     if opts.get("coarse", "topk").startswith("dupsort"):
         dup = int(opts.get("dup", 2))
@@ -54,6 +57,11 @@ def _widen_raster_opts(model_config) -> bool:
         opts.pop("dup", None)
         opts["coarse"] = "topk"
         return True
+    if train_config is not None:
+        k = int(train_config.get("max_per_tile", 256))
+        if k < 512:
+            train_config["max_per_tile"] = min(k + 128, 512)
+            return True
     return False
 
 
@@ -515,13 +523,18 @@ def training(config):
             vo = metrics.get("raster_visible_overflow", -1)
             if vo < 0:  # path that doesn't compute it: be conservative
                 vo = metrics.get("raster_overflow", 0)
-            if not use_sharded and vo > 0 and _widen_raster_opts(model.config):
+            if (
+                not use_sharded
+                and vo > 0
+                and _widen_raster_opts(model.config, tcfg)
+            ):
                 step_cache.clear()
                 chained_cache.clear()
                 logger.warning(
                     f"[ITER {iteration}] raster overflow "
                     f"{metrics['raster_overflow']:.0f}: widened raster_opts "
-                    f"to {model.config.get('raster_opts')} (recompiling)"
+                    f"to {model.config.get('raster_opts')}, max_per_tile="
+                    f"{tcfg.get('max_per_tile', 256)} (recompiling)"
                 )
 
         if iteration % progress_n == 0:
