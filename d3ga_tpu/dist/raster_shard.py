@@ -318,10 +318,10 @@ def _rasterize_shard_select(
     # --- local per-tile front-K over ALL tiles (keys: dup^2 * N/m) ----
     valid_l = proj.valid & (proj.radius > 0)
     rects_l = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
-    idx_l, counts_l, drop_l, dep_l = _select_per_tile_depthkey(
+    idx_l, counts_l, drop_l, _ties, dep_l = _select_per_tile_depthkey(
         rects_l, valid_l, proj.depth, n_tiles_x, n_tiles_y, K,
         dup=dup, return_depth=True,
-    )  # [T, K] local indices (-1 pad), [T], [], [T, K] depths (inf pad)
+    )  # [T, K] local indices (-1 pad), [T], [], [], [T, K] depths (inf pad)
 
     # --- exchange: every tile owner gets all shards' lists ------------
     t_pad = n_shards * tiles_per_shard - n_tiles

@@ -35,6 +35,9 @@ class RasterSettings:
     super_factor: int = 1
     coarse: str = "topk"  # "topk" | "dupsort"
     dup: int = 2
+    # dupsort_depth only: exact f32 depth ordering (CUDA full-bit-
+    # pattern keys) instead of quantized + index tie-break
+    depth_exact: bool = False
 
 
 def rasterize(
@@ -86,6 +89,7 @@ def rasterize(
             super_factor=settings.super_factor,
             coarse=settings.coarse,
             dup=settings.dup,
+            depth_exact=settings.depth_exact,
             **kwargs,
         )
         return img, aux

@@ -52,7 +52,14 @@ from d3ga_tpu.raster.project import project_gaussians, tile_rect
 #               (one extra [m] sort + dense cummax) so every gradient
 #               row's destination is construction-known; the backward is
 #               a [N, dup^2, CR] GATHER + dense sum — no scatter at all.
-REC_GRAD = os.environ.get("D3GA_REC_GRAD", "slotmap")
+#               Measured SLOWER end-to-end on the axon rig (19.0 vs 21.3
+#               Mpix/s): the [dup^2*N]-row backward gather runs at
+#               ~11.6 ns/row (random-locality bound, 3x the slope-probe
+#               rate) and the inverse sort + cummax add ~7 ms fixed —
+#               together more than the 11 ms scatter they replace
+#               (tools/slotmap_probe.py; PERF_NOTES.md). Kept as the
+#               structural alternative for real-HW re-evaluation.
+REC_GRAD = os.environ.get("D3GA_REC_GRAD", "add")
 # Depth-reorder strategy: "argsort" (argsort + row gather) or
 # "sortpayload" (ONE multi-operand lax.sort carrying all record
 # columns as payloads).
@@ -67,7 +74,10 @@ TILE = 16
 ALPHA_SKIP = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
-BIG_RANK = jnp.int32(2**30)
+# plain int (weak-typed) so importing this module does NOT initialize
+# the XLA backend — multi-host processes must be able to import the
+# package before jax.distributed.initialize (tools/multiproc_dist.py)
+BIG_RANK = 2**30
 
 
 class RasterAux(NamedTuple):
@@ -81,7 +91,15 @@ class RasterAux(NamedTuple):
     # them too — provably benign). Span-clamp drops (dupsort dup window)
     # are depth-unaware and always counted. -1 = not computed (paths
     # that don't return per-tile transmittance).
-    visible_overflow: jnp.ndarray = jnp.int32(-1)
+    visible_overflow: jnp.ndarray = -1
+    # dupsort_depth only: SELECTED adjacent same-tile pairs whose order
+    # is unresolved at the quantized depth precision (same depth
+    # quantum; broke by index instead of true depth). The CUDA
+    # reference sorts the full f32 depth bit pattern (SURVEY.md §3.5),
+    # so any nonzero count is a potential blend-order deviation;
+    # depth_exact=True resolves all ties (counter pinned 0). -1 = not
+    # computed (other selection paths, which are exact by construction).
+    depth_ties: jnp.ndarray = -1
 
 
 def visible_cap_drops(t_bg_max, counts, K):
@@ -400,7 +418,7 @@ def _select_per_tile_dupsort(
 
 def _select_per_tile_depthkey(
     rects, valid, depth, n_tiles_x, n_tiles_y, K, dup=4, return_depth=False,
-    return_slotmap=False,
+    return_slotmap=False, depth_exact=False,
 ):
     """Per-tile selection via lexicographic (tile|depth, index) keys —
     the full CUDA pipeline analog (`/root/reference/renderer.py:130-141`:
@@ -432,9 +450,19 @@ def _select_per_tile_depthkey(
     inverse permutation costs ONE extra [m] sort plus a dense cummax
     (segment starts) — no scatter anywhere.
 
+    depth_exact=True carries the REMAINING low bits of the f32 depth
+    bit pattern as a third sort key, so blend order is exactly
+    f32-depth-resolved with index tie-breaks — the same order the CUDA
+    reference's full-bit-pattern (tile|depth) radix keys produce
+    (SURVEY.md §3.5) — at the price of one extra sort operand. With
+    depth_exact=False, same-quantum pairs break by index; the returned
+    `ties` counter reports live adjacent same-(tile, quantum) pairs (a
+    conservative superset of selected order deviations; exact mode pins
+    it 0) so callers can auto-widen, mirroring the overflow counters.
+
     Inputs are in ORIGINAL (unsorted) Gaussian order. Returns
     (idx [T, K] int32 original indices with -1 padding, counts [T],
-    overflow [], *extras)."""
+    overflow [], ties [], *extras)."""
     xmin, xmax, ymin, ymax = rects
     n = xmin.shape[0]
     T = n_tiles_x * n_tiles_y
@@ -454,10 +482,11 @@ def _select_per_tile_depthkey(
     )
 
     # order-preserving depth quantization (depth > 0 after culling)
-    dq = (
-        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
-        >> (31 - depth_bits)
-    ) & ((1 << depth_bits) - 1)
+    d32 = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    dq = (d32 >> (31 - depth_bits)) & ((1 << depth_bits) - 1)
+    # the low bits the quantization drops (always >= 0: bit 31 is the
+    # sign, 0 for positive depths)
+    dlo = d32 & ((1 << (31 - depth_bits)) - 1)
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     sentinel = jnp.int32(T << depth_bits)
     dup2 = dup * dup
@@ -478,20 +507,32 @@ def _select_per_tile_depthkey(
             his.append(jnp.where(ok, (tid << depth_bits) | dq, sentinel))
             los.append(gidx * dup2 + d_off if return_slotmap else gidx)
             d_off += 1
+    ops = [jnp.concatenate(his)]
+    num_keys = 1
+    if depth_exact:
+        ops.append(jnp.tile(dlo, dup2))
+        num_keys = 2
+    ops.append(jnp.concatenate(los))
+    num_keys += 1
     if return_depth:
         # carry the full f32 depth as a sort payload (feeds the sharded
         # all_to_all merge in dist/raster_shard.py — avoids a [T, K]
         # row gather of depths afterwards)
-        deps = [jnp.where(valid, depth, jnp.inf)] * (dup * dup)
-        hi_s, lo_s, dep_s = jax.lax.sort(
-            (jnp.concatenate(his), jnp.concatenate(los), jnp.concatenate(deps)),
-            num_keys=2,
-        )
+        ops.append(jnp.tile(jnp.where(valid, depth, jnp.inf), dup2))
+        outs = jax.lax.sort(tuple(ops), num_keys=num_keys)
+        hi_s, lo_s, dep_s = outs[0], outs[-2], outs[-1]
     else:
-        hi_s, lo_s = jax.lax.sort(
-            (jnp.concatenate(his), jnp.concatenate(los)), num_keys=2
-        )
+        outs = jax.lax.sort(tuple(ops), num_keys=num_keys)
+        hi_s, lo_s = outs[0], outs[-1]
     m = hi_s.shape[0]
+    # live adjacent same-(tile|quantum) pairs: order unresolved at the
+    # quantized precision unless depth_exact carries the low bits
+    if depth_exact:
+        ties = jnp.int32(0)
+    else:
+        ties = jnp.sum(
+            ((hi_s[1:] == hi_s[:-1]) & (hi_s[1:] < sentinel)).astype(jnp.int32)
+        )
 
     starts = jnp.searchsorted(
         hi_s, jnp.arange(T + 1, dtype=jnp.int32) << depth_bits,
@@ -510,7 +551,7 @@ def _select_per_tile_depthkey(
         dsel = jnp.where(live, dep_s[idx2], jnp.inf)
         if K > kk:
             dsel = jnp.pad(dsel, ((0, 0), (0, K - kk)), constant_values=jnp.inf)
-        return out, counts, clamp_dropped, dsel
+        return out, counts, clamp_dropped, ties, dsel
     if return_slotmap:
         # Every sorted position p belongs to exactly one (tile, rank)
         # slot: t(p) from the key's high bits, k(p) = p - segment_start
@@ -531,8 +572,8 @@ def _select_per_tile_depthkey(
             (t_of_p < T) & (k_of_p < kk), t_of_p * K + k_of_p, T * K
         )
         _, slot_by_flat = jax.lax.sort((lo_s, slot_p), num_keys=1)
-        return out, counts, clamp_dropped, slot_by_flat.reshape(n, dup2)
-    return out, counts, clamp_dropped
+        return out, counts, clamp_dropped, ties, slot_by_flat.reshape(n, dup2)
+    return out, counts, clamp_dropped, ties
 
 
 def _coarse_block_lists(
@@ -1251,11 +1292,18 @@ def rasterize_tiled(
     super_factor: int = 1,
     coarse: str = "topk",
     dup: int = 2,
+    depth_exact: bool = False,
     return_alpha: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
 ):
-    """Render [C, H, W] (+ optional alpha [H, W]) with aux counters."""
+    """Render [C, H, W] (+ optional alpha [H, W]) with aux counters.
+
+    depth_exact (dupsort_depth only): carry the full f32 depth through
+    the selection sort so blend order is exactly depth-resolved (the
+    CUDA reference's full-bit-pattern keys, SURVEY.md §3.5); otherwise
+    same-quantum ties break by index and are counted in
+    aux.depth_ties."""
     H, W = camera.height, camera.width
     n_tiles_x = -(-W // TILE)
     n_tiles_y = -(-H // TILE)
@@ -1285,22 +1333,26 @@ def rasterize_tiled(
     )
 
     slot_map = None
+    depth_ties = jnp.int32(-1)
     if coarse == "dupsort_depth":
         # (tile | depth | index) key sort: no global depth argsort and
         # no record reordering at all — per-tile lists come out
         # front-to-back holding ORIGINAL Gaussian indices.
         rects = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
         if use_pallas and REC_GRAD == "slotmap":
-            ranks, counts, block_overflow, slot_map = (
+            ranks, counts, block_overflow, depth_ties, slot_map = (
                 _select_per_tile_depthkey(
                     rects, valid, proj.depth, n_tiles_x, n_tiles_y,
                     max_per_tile, dup=dup, return_slotmap=True,
+                    depth_exact=depth_exact,
                 )
             )
         else:
-            ranks, counts, block_overflow = _select_per_tile_depthkey(
-                rects, valid, proj.depth, n_tiles_x, n_tiles_y, max_per_tile,
-                dup=dup,
+            ranks, counts, block_overflow, depth_ties = (
+                _select_per_tile_depthkey(
+                    rects, valid, proj.depth, n_tiles_x, n_tiles_y,
+                    max_per_tile, dup=dup, depth_exact=depth_exact,
+                )
             )
         sel_valid = ranks >= 0
         dup_q = None
@@ -1402,6 +1454,7 @@ def rasterize_tiled(
             n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
             visible_overflow=visible_cap_drops(tbg_tiles, counts, max_per_tile)
             + block_overflow,
+            depth_ties=depth_ties,
         )
         if return_alpha:
             return image, alpha_img, aux
@@ -1437,6 +1490,7 @@ def rasterize_tiled(
         n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
         visible_overflow=visible_cap_drops(tbg_tiles, counts, max_per_tile)
         + block_overflow,
+        depth_ties=depth_ties,
     )
     if return_alpha:
         return image, img[..., C], aux

@@ -218,6 +218,7 @@ def render_frame(
         terms.update(_pkg_terms(pkg, loss_weights))
         aux["raster_overflow"] = aux_rgb.overflow
         aux["raster_visible_overflow"] = aux_rgb.visible_overflow
+        aux["raster_depth_ties"] = aux_rgb.depth_ties
         return terms, aux
 
     # Ground-truth composition (`train.py:181-189`).
@@ -304,6 +305,7 @@ def render_frame(
         "gt_silhouette": gt_sil,
         "raster_overflow": aux_rgb.overflow,
         "raster_visible_overflow": aux_rgb.visible_overflow,
+        "raster_depth_ties": aux_rgb.depth_ties,
         "psnr": masked_psnr(pred_image, gt_image, valid_mask),
     }
     return terms, aux
@@ -462,6 +464,7 @@ def make_train_step(
         metrics["raster_visible_overflow"] = aux.get(
             "raster_visible_overflow", -1
         )
+        metrics["raster_depth_ties"] = aux.get("raster_depth_ties", -1)
         return params, opt_state, metrics
 
     step = jax.jit(_step_body, donate_argnums=(0, 1) if donate else ())

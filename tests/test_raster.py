@@ -221,6 +221,77 @@ class TestTiledMatchesOracle:
         )
         np.testing.assert_allclose(np.asarray(img_p), np.asarray(ref), atol=2e-5)
 
+    def test_depthkey_quantum_ties_adversarial(self):
+        """Layered translucency at NEAR-EQUAL depths (all within one
+        19-bit depth quantum): the quantized dupsort_depth default must
+        (a) COUNT the unresolved ties in aux.depth_ties, and (b) its
+        depth_exact escape must reproduce the full-precision
+        dupsort_tile blend order bit-for-bit — the CUDA reference packs
+        the full f32 depth bit pattern into its sort keys
+        (`/root/reference/renderer.py:130-141`, docs/ORACLE_AUDIT.md
+        row 18)."""
+        cam = simple_camera(w=96, h=64)
+        n = 64
+        key = jax.random.PRNGKey(5)
+        # a stack of big translucent Gaussians over the same pixels,
+        # depths spread by ~1e-5 around 3.0 — far inside one quantum
+        # (19-bit keys resolve ~3.0 * 2^-11 ~ 1.5e-3)
+        means = jnp.concatenate(
+            [
+                jax.random.normal(key, (n, 2)) * 0.02,
+                3.0 + jnp.arange(n, dtype=jnp.float32)[:, None] * 1e-5
+                - 32e-5,
+            ],
+            axis=-1,
+        )
+        # shuffle depth order vs index order so index tie-breaks are WRONG
+        means = means.at[:, 2].set(
+            jax.random.permutation(jax.random.PRNGKey(6), means[:, 2])
+        )
+        cov = jnp.tile(jnp.array([[4e-3, 0.0, 0.0, 4e-3, 0.0, 1e-6]]), (n, 1))
+        opac = jnp.full((n,), 0.35)
+        colors = jax.random.uniform(jax.random.PRNGKey(7), (n, 3))
+        bg = jnp.array([0.3, 0.2, 0.1])
+        kw = dict(cov3d=cov, opacities=opac, colors=colors, max_per_tile=128)
+
+        ref, _ = rasterize_tiled(means, cam, bg, coarse="dupsort_tile",
+                                 dup=8, **kw)
+        img_q, aux_q = rasterize_tiled(means, cam, bg, coarse="dupsort_depth",
+                                       dup=8, **kw)
+        img_e, aux_e = rasterize_tiled(means, cam, bg, coarse="dupsort_depth",
+                                       dup=8, depth_exact=True, **kw)
+        # quantized mode: every adjacent pair shares the quantum
+        assert int(aux_q.depth_ties) > 0
+        # exact mode: ties resolved, counter pinned 0, image == the
+        # full-precision stable-argsort pipeline
+        assert int(aux_e.depth_ties) == 0
+        np.testing.assert_array_equal(np.asarray(img_e), np.asarray(ref))
+        # the quantized image deviates measurably here (wrong blend
+        # order) — this is exactly what the tie counter + train.py
+        # auto-escape exist for; bound the worst case so silent
+        # catastrophic deviation still fails the suite
+        dev = float(jnp.max(jnp.abs(img_q - ref)))
+        assert dev < 0.15, dev
+
+        # pallas + slotmap path honors depth_exact identically
+        img_pe, aux_pe = rasterize_tiled(
+            means, cam, bg, coarse="dupsort_depth", dup=8, depth_exact=True,
+            use_pallas=True, pallas_interpret=True, **kw
+        )
+        assert int(aux_pe.depth_ties) == 0
+        np.testing.assert_allclose(
+            np.asarray(img_pe), np.asarray(ref), atol=2e-5
+        )
+
+        # a well-separated scene resolves at 19 bits: quantized == exact
+        means2 = means.at[:, 2].set(3.0 + jnp.arange(n, dtype=jnp.float32) * 0.01)
+        a, aux_a = rasterize_tiled(means2, cam, bg, coarse="dupsort_depth",
+                                   dup=8, **kw)
+        b, _ = rasterize_tiled(means2, cam, bg, coarse="dupsort_depth",
+                               dup=8, depth_exact=True, **kw)
+        assert int(aux_a.depth_ties) == 0
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     @pytest.mark.parametrize("coarse", ["dupsort_tile", "dupsort_depth"])
     def test_dupsort_empty_scene(self, coarse):
         # All Gaussians behind the camera: dup-sort paths must produce

@@ -102,7 +102,7 @@ if KW["coarse"] == "dupsort_depth":
     def sel(rects, valid_s):
         return _select_per_tile_depthkey(
             rects, valid_s, p.depth, ntx, nty, MAX_PER_TILE, dup=KW["dup"]
-        )
+        )[:3]
     PAD = -1
 else:
     def sel(rects, valid_s):

@@ -523,6 +523,27 @@ def training(config):
             vo = metrics.get("raster_visible_overflow", -1)
             if vo < 0:  # path that doesn't compute it: be conservative
                 vo = metrics.get("raster_overflow", 0)
+            # Quantized-depth tie escape: the dupsort_depth fast path
+            # breaks same-depth-quantum ties by index; the CUDA
+            # reference orders by the full f32 bit pattern (SURVEY.md
+            # §3.5). Any observed tie flips the selection to
+            # depth_exact (one recompile) so blend order is exactly
+            # depth-resolved from then on.
+            opts = model.config.get("raster_opts", {})
+            if (
+                not use_sharded
+                and metrics.get("raster_depth_ties", -1) > 0
+                and opts.get("coarse") == "dupsort_depth"
+                and not opts.get("depth_exact", False)
+            ):
+                opts["depth_exact"] = True
+                step_cache.clear()
+                chained_cache.clear()
+                logger.warning(
+                    f"[ITER {iteration}] "
+                    f"{metrics['raster_depth_ties']:.0f} quantized-depth "
+                    "ties: enabling depth_exact selection (recompiling)"
+                )
             if (
                 not use_sharded
                 and vo > 0
