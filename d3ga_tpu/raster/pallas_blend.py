@@ -19,6 +19,7 @@ stage; `coeffs` are the quadratic-falloff coefficients in tile-local
 pixel coordinates (see tiles._blend_tiles).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -77,6 +78,43 @@ def _dot_split_ab(a, b, dims):
     ahi, alo = _split(a)
     bhi, blo = _split(b)
     return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
+
+
+# Block-triangular split of the dominant [P, K] x [K, K] transmittance
+# matmuls: U is upper-triangular, so the (B, A) block is structurally
+# zero -- skipping it removes 25% of the MXU MACs on full-width tiles.
+# Applied when the half-width is a 128-lane multiple (K = 256, 512).
+TRI_SPLIT = os.environ.get("D3GA_TRI_SPLIT", "1") == "1"
+_NK = (((1,), (0,)), ((), ()))
+_LL = (((1,), (1,)), ((), ()))
+
+
+def _tri_dot_nk(x, tri):
+    """x [P, K] @ U [K, K] (upper-triangular), zero block skipped."""
+    K = tri.shape[0]
+    h = K // 2
+    if not TRI_SPLIT or h % 128:
+        return _dot_split_a(x, tri, _NK)
+    xA, xB = x[:, :h], x[:, h:]
+    outA = _dot_split_a(xA, tri[:h, :h], _NK)
+    outB = _dot_split_a(xA, tri[:h, h:], _NK) + _dot_split_a(
+        xB, tri[h:, h:], _NK
+    )
+    return jnp.concatenate([outA, outB], axis=1)
+
+
+def _tri_dot_ll(x, tri):
+    """x [P, K] @ U^T (lower-triangular), zero block skipped."""
+    K = tri.shape[0]
+    h = K // 2
+    if not TRI_SPLIT or h % 128:
+        return _dot_split_a(x, tri, _LL)
+    xA, xB = x[:, :h], x[:, h:]
+    outA = _dot_split_a(xA, tri[:h, :h], _LL) + _dot_split_a(
+        xB, tri[:h, h:], _LL
+    )
+    outB = _dot_split_a(xB, tri[h:, h:], _LL)
+    return jnp.concatenate([outA, outB], axis=1)
 
 
 def _pixel_basis(dtype=jnp.float32):

@@ -25,7 +25,6 @@ stop per `/root/reference/renderer.py:130-141`, zero-sentinel padding,
 empty-tile skip, count-adaptive half width).
 """
 
-import os
 from functools import partial
 
 import jax
@@ -39,6 +38,8 @@ from d3ga_tpu.raster.pallas_blend import (
     _dot_split_b,
     _pixel_basis,
     _tri,
+    _tri_dot_ll,
+    _tri_dot_nk,
 )
 from d3ga_tpu.raster.pallas_blend_rec import (
     ALPHA_MAX,
@@ -53,7 +54,6 @@ from d3ga_tpu.raster.pallas_blend_rec import (
 C_LL = (((1,), (1,)), ((), ()))   # contract last-last
 C_NK = (((1,), (0,)), ((), ()))   # standard matmul
 C_FF = (((0,), (0,)), ((), ()))   # contract first-first
-
 
 def _coeffs_ct(rec, sx, sy):
     """rec [CR, K] -> (coeffs [8, K], coeffs2 [8, K]); coeffs2 carries
@@ -102,7 +102,7 @@ def _blend_fwd_ct(rec, basis, tri, sx, sy, C):
     use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
     alpha = jnp.where(use, alpha, 0.0)
     lg = jnp.log1p(-alpha)
-    cum = _dot_split_a(lg, tri, C_NK)                   # [P, K']
+    cum = _tri_dot_nk(lg, tri)                          # [P, K']
     t_before = jnp.exp(cum - lg)                        # one exp (see rec kernel)
     t_after = t_before * (1.0 - alpha)
     accept = t_after >= T_EPS
@@ -124,7 +124,7 @@ def _blend_bwd_ct(rec, g, basis, tri, sx, sy, C):
     use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
     alpha = jnp.where(use, alpha, 0.0)
     lg = jnp.log1p(-alpha)
-    cum = _dot_split_a(lg, tri, C_NK)
+    cum = _tri_dot_nk(lg, tri)
     t_before = jnp.exp(cum - lg)
     t_after = t_before * (1.0 - alpha)
     accept = t_after >= T_EPS
@@ -142,7 +142,7 @@ def _blend_bwd_ct(rec, g, basis, tri, sx, sy, C):
     # broadcast (g_tbg*t_bg)[p] over K via an MXU outer product with a
     # ones row (no [1,P] -> [P,1] relayout exists in-kernel)
     dsum = _dot_split_a(g_tbg * t_bg, ones_k, C_FF)     # [P, K']
-    dlg = _dot_split_a(ds, tri, C_LL)                   # ds @ U^T
+    dlg = _tri_dot_ll(ds, tri)                          # ds @ U^T
     dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
     dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
     live = use & (raw < ALPHA_MAX)

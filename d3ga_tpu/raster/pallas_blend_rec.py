@@ -38,6 +38,8 @@ from d3ga_tpu.raster.pallas_blend import (
     _dot_split_b,
     _pixel_basis,
     _tri,
+    _tri_dot_ll,
+    _tri_dot_nk,
 )
 
 TILE = 16
@@ -117,7 +119,7 @@ def _blend_fwd(rec, basis, tri, sx, sy, C):
     use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
     alpha = jnp.where(use, alpha, 0.0)
     lg = jnp.log1p(-alpha)
-    cum = _dot_split_a(lg, tri, C_NK)                 # [P, K']
+    cum = _tri_dot_nk(lg, tri)                        # [P, K']
     # ONE exp for both transmittances: t_after = t_before * (1 - alpha)
     # (exact to ~1 ulp since lg = log1p(-alpha); saves 131k VPU
     # transcendentals per tile)
@@ -187,7 +189,7 @@ def _blend_bwd(rec, g, basis, tri, sx, sy, C):
     use = (power <= 0.0) & (alpha >= ALPHA_SKIP)
     alpha = jnp.where(use, alpha, 0.0)
     lg = jnp.log1p(-alpha)
-    cum = _dot_split_a(lg, tri, C_NK)
+    cum = _tri_dot_nk(lg, tri)
     t_before = jnp.exp(cum - lg)      # one exp (see _blend_fwd)
     t_after = t_before * (1.0 - alpha)
     accept = t_after >= T_EPS
@@ -203,7 +205,7 @@ def _blend_bwd(rec, g, basis, tri, sx, sy, C):
     ds = dw * w
     dalpha = jnp.where(accept, dw * t_before, 0.0)
     dsum = g_tbg * t_bg
-    dlg = _dot_split_a(ds, tri, C_LL)             # ds @ U^T
+    dlg = _tri_dot_ll(ds, tri)                    # ds @ U^T
     dlg = dlg - ds + jnp.where(accept, dsum, 0.0)
     dalpha = dalpha + dlg * (-1.0 / (1.0 - alpha))
     live = use & (raw < ALPHA_MAX)

@@ -127,17 +127,26 @@ VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
 FEATURE_LAYERS = (2, 7, 12, 21, 30)
 
 
-def init_vgg19_features(key=None, weights_path=None):
+def init_vgg19_features(key=None, weights_path=None, allow_random=False):
     """Conv stack parameters up to torchvision features[30].
 
-    weights_path: optional .npz with conv weights named w0, b0, w1, ...
-    in torchvision order ([out, in, k, k]); falls back to seeded He init.
+    weights_path: .npz with conv weights named w0, b0, w1, ... in
+    torchvision order ([out, in, k, k]) — export with
+    tools/export_vgg19.py. Without a weights file this returns None
+    (the VGG term is DISABLED): the seeded-random fallback was
+    validated in a converged regime and CUT — held-out PSNR delta
+    +0.218 dB (below the pre-registered 0.25 dB keep rule) with a
+    slightly NEGATIVE SSIM delta (tools/randvgg_validation.json,
+    tools/validate_randvgg.py). allow_random=True keeps the random
+    stack available for that experiment and architecture tests only.
     """
     convs = []
     in_ch = 3
     loaded = None
     if weights_path is not None:
         loaded = np.load(weights_path)
+    elif not allow_random:
+        return None
     idx = 0
     if key is None:
         key = jax.random.PRNGKey(1234)

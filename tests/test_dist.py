@@ -300,7 +300,7 @@ class TestShardedLossParity:
         params = pad_params_for_shards(
             init_avatar(jax.random.PRNGKey(0), model, init_smplx_poses=init_poses), 4
         )
-        vgg_params = init_vgg19_features(jax.random.PRNGKey(11))
+        vgg_params = init_vgg19_features(jax.random.PRNGKey(11), allow_random=True)
         lw = LossWeights(enable_vgg_from=1)
         lr_tree = lr_tree_from_config(params, {})
         tx = make_optimizer(lr_tree)

@@ -109,13 +109,13 @@ class TestSSIM:
 
 class TestVGG:
     def test_zero_for_identical(self):
-        p = init_vgg19_features()
+        p = init_vgg19_features(allow_random=True)
         img = jax.random.uniform(jax.random.PRNGKey(0), (3, 64, 64))
         out = vgg_loss(p, img, img)
         np.testing.assert_allclose(out, 0.0, atol=1e-5)
 
     def test_positive_and_differentiable(self):
-        p = init_vgg19_features()
+        p = init_vgg19_features(allow_random=True)
         a = jax.random.uniform(jax.random.PRNGKey(1), (3, 48, 48))
         b = jax.random.uniform(jax.random.PRNGKey(2), (3, 48, 48))
         val, g = jax.value_and_grad(lambda x: vgg_loss(p, x, b))(a)
@@ -223,7 +223,7 @@ class TestPerceptualMetricNaming:
         from d3ga_tpu.train.evaluate import compute_errors, vgg_metric_name
         from d3ga_tpu.train.losses import init_vgg19_features
 
-        params = init_vgg19_features()  # random fallback
+        params = init_vgg19_features(allow_random=True)  # random stack, test-only
         assert vgg_metric_name(params) == "randvgg_dist"
         k = jax.random.PRNGKey(0)
         a = jax.random.uniform(k, (3, 32, 32))

@@ -68,7 +68,7 @@ def run(vgg: bool, steps: int):
     params = init_avatar(jax.random.PRNGKey(0), model)
     lr_tree = lr_tree_from_config(params, {})
     tx = make_optimizer(lr_tree)
-    vgg_params = init_vgg19_features() if vgg else None
+    vgg_params = init_vgg19_features(allow_random=True) if vgg else None
     lw = LossWeights(enable_vgg_from=1)
     step = make_train_step(
         model, tx, max_per_tile=64, vgg_params=vgg_params,

@@ -299,6 +299,13 @@ def training(config):
         vgg_params = init_vgg19_features(
             weights_path=tcfg.get("vgg_weights_path")
         )
+        if vgg_params is None:
+            logger.warning(
+                "enable_vgg_from set but no vgg_weights_path: the VGG "
+                "perceptual term is DISABLED (the random-weight proxy "
+                "was validated and cut — tools/randvgg_validation.json; "
+                "export real weights with tools/export_vgg19.py)"
+            )
 
     lw = LossWeights(
         rgb_weight=tcfg.get("rgb_weight", 10.0),
