@@ -59,6 +59,14 @@ from d3ga_tpu.raster.project import project_gaussians, tile_rect
 #               together more than the 11 ms scatter they replace
 #               (tools/slotmap_probe.py; PERF_NOTES.md). Kept as the
 #               structural alternative for real-HW re-evaluation.
+#   "runsort" — (dupsort_depth only) explicit sort + fixed-depth
+#               (run length <= dup^2) segmented reduction. Won its
+#               isolated probe (6.4 vs 10.5 ms) but LOSES end-to-end
+#               (18.5 vs 21.2 Mpix/s): the probe's index-side work was
+#               loop-invariant and got hoisted, searchsorted(sort)
+#               lowers to argsort+scatter (~6.7 ms), and the custom_vjp
+#               boundary costs the FORWARD gather its fusion (1.2 ->
+#               10.2 ms). See PERF_NOTES "backward-combine floor".
 REC_GRAD = os.environ.get("D3GA_REC_GRAD", "add")
 # Depth-reorder strategy: "argsort" (argsort + row gather) or
 # "sortpayload" (ONE multi-operand lax.sort carrying all record
@@ -332,6 +340,67 @@ def _gather_slotmap_bwd(res, g):
 
 
 gather_records_slotmap.defvjp(_gather_slotmap_fwd, _gather_slotmap_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_records_runsort(records_ext, idx, max_run):
+    """Per-tile record gather [T, K] rows of records_ext [N+1, CR] whose
+    BACKWARD is an explicit sort + fixed-depth segmented reduction
+    instead of the XLA scatter-add (which XLA lowers as sort + a slow
+    elementwise combine — 9.9 ms device at Goliath scale,
+    tools/trace_lanes.py; this chain measures 6.4 ms,
+    tools/seg_gather_probe.py):
+
+      1. sort (idx.flatten(), iota) by Gaussian id — runs are at most
+         `max_run` = dup^2 long (a Gaussian lands in at most dup^2
+         tiles, once per tile),
+      2. permutation ROW gather of the cotangent rows,
+      3. log2(max_run) shifted-add passes (dense) put each run's sum at
+         its first row,
+      4. run-start positions via a merge searchsorted (sorted-sorted),
+      5. one [N]-row extract at sorted positions.
+
+    Sentinel slots (idx == N) sort to the tail and are never extracted.
+    The CUDA reference instead re-walks tiles back-to-front with atomic
+    accumulation (`/root/reference/renderer.py:122-141`, SURVEY §3.5).
+    """
+    return records_ext[idx]
+
+
+def _gather_runsort_fwd(records_ext, idx, max_run):
+    return records_ext[idx], (idx, records_ext.shape[0])
+
+
+def _gather_runsort_bwd(max_run, res, g):
+    idx, n_ext = res
+    n = n_ext - 1
+    cr = g.shape[-1]
+    m = idx.size
+    g_flat = g.reshape(m, cr)
+    idx_s, perm = jax.lax.sort(
+        (idx.reshape(-1), jnp.arange(m, dtype=jnp.int32)), num_keys=1
+    )
+    acc = g_flat[perm]
+    shift = 1
+    while shift < max_run:
+        nxt = jnp.concatenate(
+            [acc[shift:], jnp.zeros((shift, cr), acc.dtype)], axis=0
+        )
+        ok = jnp.concatenate(
+            [idx_s[shift:] == idx_s[:-shift], jnp.zeros((shift,), bool)]
+        )
+        acc = acc + jnp.where(ok[:, None], nxt, 0.0)
+        shift *= 2
+    gid = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.searchsorted(idx_s, gid, method="sort")
+    pos_c = jnp.minimum(pos, m - 1)
+    hit = idx_s[pos_c] == gid
+    drec = jnp.where(hit[:, None], acc[pos_c], 0.0)
+    dre = jnp.concatenate([drec, jnp.zeros((1, cr), g.dtype)], axis=0)
+    return (dre, None)
+
+
+gather_records_runsort.defvjp(_gather_runsort_fwd, _gather_runsort_bwd)
 
 
 def _select_per_tile_dupsort(
@@ -1419,6 +1488,8 @@ def rasterize_tiled(
             rec_t = gather_records_dupslot(records_ext, idx, dup_q, dup * dup)
         elif slot_map is not None:
             rec_t = gather_records_slotmap(records_ext, idx, slot_map)
+        elif coarse == "dupsort_depth" and REC_GRAD == "runsort":
+            rec_t = gather_records_runsort(records_ext, idx, dup * dup)
         else:
             rec_t = records_ext[idx]  # [T, K, 6+C]
         if BLEND_LAYOUT == "ct":

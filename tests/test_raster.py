@@ -737,6 +737,48 @@ class TestBackwardVariants:
             np.testing.assert_allclose(float(g[i, 0]), fd, rtol=5e-2, atol=5e-4)
 
     @pytest.mark.parametrize("k,n", [(32, 300), (16, 600)])
+    def test_runsort_grads_match_scatter_add(self, monkeypatch, k, n):
+        """The sorted-run-reduce backward (explicit sort + fixed-depth
+        segmented sum; no scatter) must reproduce the XLA scatter-add
+        gradients on the dupsort_depth champion path, including over-cap
+        tiles (sentinel slots sort to the tail) and clamped spans."""
+        import d3ga_tpu.raster.tiles as tiles
+
+        cam = simple_camera(w=80, h=56)
+        means, scales, rots, opac, colors = random_scene(
+            jax.random.PRNGKey(13), n=n
+        )
+
+        def loss(means, scales, rots, opac, colors):
+            img, aux = rasterize_tiled(
+                means, cam, jnp.array([0.1, 0.2, 0.3]),
+                scales=scales, rotations=rots, opacities=opac,
+                colors=colors, max_per_tile=k, coarse="dupsort_depth",
+                dup=2, use_pallas=True, pallas_interpret=True,
+            )
+            return jnp.sum(img**2), (img, aux)
+
+        monkeypatch.setattr(tiles, "REC_GRAD", "add")
+        (_, (ref_img, ref_aux)), ref_g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(means, scales, rots, opac, colors)
+
+        monkeypatch.setattr(tiles, "REC_GRAD", "runsort")
+        (_, (img2, _aux2)), g2 = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(means, scales, rots, opac, colors)
+
+        if k == 16:
+            assert int(ref_aux.overflow) > 0
+        assert np.array_equal(np.asarray(img2), np.asarray(ref_img))
+        for a, b in zip(ref_g, g2):
+            # run sums accumulate in sorted-slot order; XLA's scatter
+            # combine may associate differently — allow float32 ulp slop
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-6, atol=1e-7
+            )
+
+    @pytest.mark.parametrize("k,n", [(32, 300), (16, 600)])
     def test_slotmap_grads_bitmatch_scatter_add(self, monkeypatch, k, n):
         """The slot-map backward (construction-known gradient-row
         positions; no scatter) must be BIT-identical to the XLA
