@@ -25,6 +25,7 @@ stop per `/root/reference/renderer.py:130-141`, zero-sentinel padding,
 empty-tile skip, count-adaptive half width).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -247,8 +248,12 @@ def _tables(K):
 
 
 # G*TILE is the out block's LANE dim and must be 128-divisible
-# (Mosaic block rule) -> G=8 tiles per program, tile grid padded in x.
-G_CT = 8
+# (Mosaic block rule) -> G in {8, 16, 24, ...} tiles per program, tile
+# grid padded in x to a G multiple. The kernels are per-PROGRAM-
+# overhead-bound on this rig (fwd 2.0 ms ~= 384 programs x ~5-8 us at
+# G=8, tools/trace_lanes.py), so larger G amortizes it; VMEM per
+# program is only ~(G/8) x 0.5 MB.
+G_CT = int(os.environ.get("D3GA_G_CT", "8"))
 
 
 def _pad_x(ntx):
