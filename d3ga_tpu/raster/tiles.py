@@ -108,6 +108,10 @@ class RasterAux(NamedTuple):
     # depth_exact=True resolves all ties (counter pinned 0). -1 = not
     # computed (other selection paths, which are exact by construction).
     depth_ties: jnp.ndarray = -1
+    # span-clamp drops alone (the dup-window part of `overflow`), so
+    # the auto-widener can tell "widen dup" apart from "raise the
+    # per-tile K budget". -1 = not computed.
+    clamp_overflow: jnp.ndarray = -1
 
 
 def visible_cap_drops(t_bg_max, counts, K):
@@ -1526,6 +1530,7 @@ def rasterize_tiled(
             visible_overflow=visible_cap_drops(tbg_tiles, counts, max_per_tile)
             + block_overflow,
             depth_ties=depth_ties,
+            clamp_overflow=block_overflow,
         )
         if return_alpha:
             return image, alpha_img, aux
@@ -1562,6 +1567,7 @@ def rasterize_tiled(
         visible_overflow=visible_cap_drops(tbg_tiles, counts, max_per_tile)
         + block_overflow,
         depth_ties=depth_ties,
+        clamp_overflow=block_overflow,
     )
     if return_alpha:
         return image, img[..., C], aux

@@ -219,6 +219,7 @@ def render_frame(
         aux["raster_overflow"] = aux_rgb.overflow
         aux["raster_visible_overflow"] = aux_rgb.visible_overflow
         aux["raster_depth_ties"] = aux_rgb.depth_ties
+        aux["raster_clamp_overflow"] = aux_rgb.clamp_overflow
         return terms, aux
 
     # Ground-truth composition (`train.py:181-189`).
@@ -306,6 +307,7 @@ def render_frame(
         "raster_overflow": aux_rgb.overflow,
         "raster_visible_overflow": aux_rgb.visible_overflow,
         "raster_depth_ties": aux_rgb.depth_ties,
+        "raster_clamp_overflow": aux_rgb.clamp_overflow,
         "psnr": masked_psnr(pred_image, gt_image, valid_mask),
     }
     return terms, aux
@@ -465,6 +467,7 @@ def make_train_step(
             "raster_visible_overflow", -1
         )
         metrics["raster_depth_ties"] = aux.get("raster_depth_ties", -1)
+        metrics["raster_clamp_overflow"] = aux.get("raster_clamp_overflow", -1)
         return params, opt_state, metrics
 
     step = jax.jit(_step_body, donate_argnums=(0, 1) if donate else ())

@@ -878,6 +878,17 @@ class TestBigGaussianOverflow:
         assert widen(cfg, tcfg) and tcfg["max_per_tile"] == 512
         assert not widen(cfg, tcfg)
 
+        # clamp_overflow == 0 routes straight to the K budget (the dup
+        # window drops nothing; dup recompiles would be useless)
+        cfg = {"raster_opts": {"coarse": "dupsort_depth", "dup": 4}}
+        tcfg = {"max_per_tile": 256}
+        assert widen(cfg, tcfg, clamp_overflow=0)
+        assert cfg["raster_opts"]["dup"] == 4  # untouched
+        assert tcfg["max_per_tile"] == 384
+        # unknown/positive clamp keeps the conservative dup-first order
+        assert widen(cfg, tcfg, clamp_overflow=7)
+        assert cfg["raster_opts"]["dup"] == 6
+
     def test_training_loop_escalates_max_per_tile(self, tmp_path):
         """FULLRES-style trigger: deep translucent tiles overflow a tiny
         per-tile budget with transmittance still live, and the training

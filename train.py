@@ -39,17 +39,24 @@ def check_loss(metrics, iteration):
         raise ValueError("loss is NaN")
 
 
-def _widen_raster_opts(model_config, train_config=None) -> bool:
+def _widen_raster_opts(model_config, train_config=None, clamp_overflow=None) -> bool:
     """One widening step of the raster selection caps after observed
     overflow. dup 4 -> 6 -> 8, then the uncapped-span "topk" funnel,
     then (the last remaining static cap, matching the uncapped CUDA
     reference `renderer.py:130-141`) the per-tile record budget
     max_per_tile 256 -> 384 -> 512 in 128-lane increments.
+
+    clamp_overflow (the span-clamp part of the overflow counter,
+    RasterAux.clamp_overflow) routes the escalation: 0 means the dup
+    window drops nothing — the overflow is per-tile-cap drops, so dup
+    widening is skipped and K escalates directly (no useless
+    recompiles). None/negative = unknown, widen conservatively.
     Returns True if anything changed (caller must rebuild/recompile the
     step). Mutating the config dicts in place is safe: the jitted steps
     capture them only at trace time."""
     opts = model_config.setdefault("raster_opts", {})
-    if opts.get("coarse", "topk").startswith("dupsort"):
+    span_capped = opts.get("coarse", "topk").startswith("dupsort")
+    if span_capped and (clamp_overflow is None or clamp_overflow != 0):
         dup = int(opts.get("dup", 2))
         if dup < 8:
             opts["dup"] = min(dup + 2, 8)
@@ -554,7 +561,10 @@ def training(config):
             if (
                 not use_sharded
                 and vo > 0
-                and _widen_raster_opts(model.config, tcfg)
+                and _widen_raster_opts(
+                    model.config, tcfg,
+                    clamp_overflow=metrics.get("raster_clamp_overflow", -1),
+                )
             ):
                 step_cache.clear()
                 chained_cache.clear()
