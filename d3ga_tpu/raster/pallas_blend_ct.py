@@ -160,6 +160,27 @@ def _blend_bwd_ct(rec, g, basis, tri, sx, sy, C):
     return jnp.concatenate(parts, axis=0)               # [CR, K']
 
 
+# tiles-per-program iteration: a static Python unroll compiles the
+# whole per-tile body G times (fine at G=8; G=16 blew a 30-minute
+# compile budget), so G > UNROLL_G iterates with an in-kernel
+# fori_loop instead — dynamic indexing is on the G axis (second-major
+# of the [1, G, CR, K] block), which Mosaic supports; compile time
+# becomes constant in G.
+UNROLL_G = 8
+
+
+def _iter_tiles(G, one_tile):
+    if G <= UNROLL_G:
+        for b in range(G):
+            one_tile(b)
+    else:
+        def body(b, carry):
+            one_tile(b)
+            return carry
+
+        jax.lax.fori_loop(0, G, body, jnp.int32(0))
+
+
 def _forward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
     # Per-tile output row [C+1, P] written like the rec blocks — no
     # in-kernel reshapes/transposes of the lane dim (Mosaic cannot
@@ -171,7 +192,8 @@ def _forward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
     j = pl.program_id(1)
     K = tri.shape[0]
     KH = _khalf(K)
-    for b in range(G):
+
+    def one_tile(b):
         cnt = cnt_ref[i, j * G + b]
         sx = ((j * G + b) * TILE).astype(jnp.float32)
         sy = (i * TILE).astype(jnp.float32)
@@ -201,6 +223,8 @@ def _forward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
             def _(run=run):
                 run(K)
 
+    _iter_tiles(G, one_tile)
+
 
 def _backward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref):
     basis = basis_ref[0]
@@ -209,7 +233,8 @@ def _backward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_re
     j = pl.program_id(1)
     K = tri.shape[0]
     KH = _khalf(K)
-    for b in range(G):
+
+    def one_tile(b):
         cnt = cnt_ref[i, j * G + b]
         sx = ((j * G + b) * TILE).astype(jnp.float32)
         sy = (i * TILE).astype(jnp.float32)
@@ -241,6 +266,8 @@ def _backward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_re
             @pl.when(cnt != 0)
             def _(run=run):
                 run(K)
+
+    _iter_tiles(G, one_tile)
 
 
 def _tables(K):
