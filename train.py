@@ -67,7 +67,9 @@ def _widen_raster_opts(model_config, train_config=None, clamp_overflow=None) -> 
     if train_config is not None:
         k = int(train_config.get("max_per_tile", 256))
         if k < 512:
-            train_config["max_per_tile"] = min(k + 128, 512)
+            # snap UP to a 128 multiple: K is the Pallas blend block's
+            # lane dim and must be 128-divisible in compiled mode
+            train_config["max_per_tile"] = min(-(-(k + 128) // 128) * 128, 512)
             return True
     return False
 
