@@ -70,6 +70,22 @@ class TestSSIM:
         img = jax.random.uniform(jax.random.PRNGKey(0), (3, 32, 32))
         np.testing.assert_allclose(ssim(img, img), 1.0, atol=1e-5)
 
+    def test_separable_blur_matches_full_window(self):
+        # The SSIM hot path runs outer(g,g) as two 1-D passes
+        # (`_gauss_blur_separable`); zero padding commutes with
+        # separability exactly, so only f32 rounding may differ.
+        from d3ga_tpu.train.losses import (
+            _depthwise_conv2d_same,
+            _gauss_blur_separable,
+            _gaussian_window,
+        )
+
+        g = jnp.asarray(_gaussian_window(11, 1.5))
+        img = jax.random.uniform(jax.random.PRNGKey(3), (5, 37, 53))
+        full = _depthwise_conv2d_same(img, jnp.asarray(np.outer(g, g)))
+        sep = _gauss_blur_separable(img, g)
+        np.testing.assert_allclose(np.asarray(sep), np.asarray(full), atol=2e-6)
+
     def test_matches_torch_reference(self):
         # Cross-check against the reference's torch implementation.
         torch = pytest.importorskip("torch")
