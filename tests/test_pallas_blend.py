@@ -76,3 +76,41 @@ class TestPallasBlend:
         np.testing.assert_allclose(
             np.asarray(g_ref), np.asarray(g_pl), rtol=1e-4, atol=1e-5
         )
+
+
+class TestLargeTilesPerProgram:
+    @pytest.mark.parametrize("g", [16, 24])
+    def test_gct_loop_path_matches_xla(self, g, monkeypatch):
+        # G_CT > 8 switches the kernel body from the static per-tile
+        # unroll to the in-kernel fori_loop (dynamic G-axis indexing)
+        # and widens the x-grid padding; image + grads must still match
+        # the XLA blend. On-chip this path is the per-program-overhead
+        # amortization lever (tools/gct_probe.py).
+        from d3ga_tpu.raster import pallas_blend_ct
+
+        monkeypatch.setattr(pallas_blend_ct, "G_CT", g)
+        cam = simple_camera(w=64, h=48)
+        means, scales, rots, opac, colors = random_scene(jax.random.PRNGKey(5), n=100)
+        bg = jnp.array([0.3, 0.1, 0.6])
+
+        def loss(m, o, c, pallas):
+            img, _ = rasterize_tiled(
+                m, cam, bg, scales=scales, rotations=rots, opacities=o,
+                colors=c, max_per_tile=64, use_pallas=pallas,
+                pallas_interpret=pallas,
+            )
+            return img, jnp.mean((img - 0.25) ** 2)
+
+        ref_img, _ = loss(means, opac, colors, False)
+        img, _ = loss(means, opac, colors, True)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img), atol=5e-5)
+
+        g_ref = jax.grad(lambda *a: loss(*a, False)[1], argnums=(0, 1, 2))(
+            means, opac, colors)
+        g_pl = jax.grad(lambda *a: loss(*a, True)[1], argnums=(0, 1, 2))(
+            means, opac, colors)
+        for a, b, name in zip(g_ref, g_pl, ("means", "opac", "colors")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=f"grad mismatch at G_CT={g}: {name}",
+            )
