@@ -130,6 +130,13 @@ def main():
 
     results["loss_forward"] = chain_time("C full loss forward", full_loss, params)
 
+    def raster_grad(p, eps):
+        # Backward through raster+avatar only (mean-image loss stub) —
+        # D minus this is the loss-assembly backward (SSIM et al).
+        return jax.value_and_grad(lambda q, e: jnp.mean(fwd_raster(q, e)))(p, eps)[1]
+
+    results["raster_fwd_bwd"] = chain_time("D0 value_and_grad(B, mean stub)", raster_grad, params)
+
     def loss_grad(p, eps):
         return jax.value_and_grad(full_loss)(p, eps)[1]
 
