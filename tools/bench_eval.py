@@ -61,12 +61,18 @@ def main():
     @jax.jit
     def render_chain(params, lbs0):
         # CHAIN dependent frames per dispatch: each frame's lbs vector
-        # is perturbed by a digest of the previous frame so XLA cannot
-        # collapse the chain; mirrors bench.py's scan-unroll protocol.
+        # is a genuinely different pose (varied by the scan index i, a
+        # per-joint sinusoid) plus a digest of the previous frame so XLA
+        # cannot collapse the chain; mirrors bench.py's scan-unroll
+        # protocol while matching the reference test.py loop's
+        # frame-to-frame pose variation (a fixed pose would measure a
+        # best-case identical-scene rate).
+        joint_phase = jnp.arange(lbs_dim) * 0.61
         def body(carry, i):
+            lbs_i = lbs0 + 0.05 * jnp.sin(i.astype(jnp.float32) * 0.37 + joint_phase)
             pkg = avatar_forward(
                 params, model,
-                {"camera": camera, "lbs": lbs0 + carry,
+                {"camera": camera, "lbs": lbs_i + carry,
                  "frame_idx": jnp.int32(0), "camera_idx": jnp.int32(0),
                  "iteration": jnp.int32(0)},
                 training=False,
@@ -108,7 +114,8 @@ def main():
                 "chain": CHAIN,
                 "note": (
                     "eval-mode avatar forward + fused 6-ch raster forward,"
-                    " no grads; reference protocol: test.py render loop"
+                    " no grads; per-frame pose varied by scan index;"
+                    " reference protocol: test.py render loop"
                 ),
             }
         )
