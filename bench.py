@@ -152,13 +152,14 @@ def main():
         super_factor = int(os.environ.get("BENCH_SF", "1"))
         coarse = os.environ.get("BENCH_COARSE", "dupsort_depth")
         dup = int(os.environ.get("BENCH_DUP", "3"))
+        depth_exact = os.environ.get("BENCH_DEPTH_EXACT", "0") == "1"
 
         def loss_fn(means, cov6, opac, colors):
             img, _ = rasterize_tiled(
                 means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
                 max_per_tile=MAX_PER_TILE, block_cap=kb, use_pallas=use_pallas,
                 sub_block=sub_block, sub_cap=sub_cap, super_factor=super_factor,
-                coarse=coarse, dup=dup,
+                coarse=coarse, dup=dup, depth_exact=depth_exact,
             )
             return jnp.mean(jnp.abs(img - target))
 
@@ -238,16 +239,66 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (batch * H * W) / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "raster_fwd_bwd_throughput",
-                "value": round(mpix_s, 3),
-                "unit": "Mpixels/s",
-                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": "raster_fwd_bwd_throughput",
+        "value": round(mpix_s, 3),
+        "unit": "Mpixels/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+    }
+    rec.update(roofline_fields(dt, batch))
+    print(json.dumps(rec))
+
+
+# ----- roofline accounting (VERDICT r4 #2) -----------------------------
+# v5e nominal peaks and the RIG-ACHIEVED dense rates measured by
+# tools/roofline_probe.py (chained protocol — what dense XLA ops
+# actually sustain through this axon tunnel; see PERF_NOTES roofline
+# section for the full table).
+V5E_HBM_GBS = 819.0
+V5E_BF16_TFLOPS = 197.0
+RIG_DENSE_GBS = float(os.environ.get("RIG_DENSE_GBS", "50.0"))
+RIG_BF16_TFLOPS = float(os.environ.get("RIG_BF16_TFLOPS", "0")) or None
+
+
+def roofline_fields(dt, batch=1):
+    """Implied utilization of the measured step: logical one-pass bytes
+    and MXU FLOPs of the champion pipeline's dominant ops (derived from
+    the config shapes), divided by the step wall time. Sort-pass and
+    XLA-internal amplification are NOT included — these are LOWER
+    bounds on traffic, making the utilization fractions upper bounds
+    on how bandwidth-bound the step could possibly be."""
+    n = N_GAUSS * batch
+    ntx, nty = -(-W // 16), -(-H // 16)
+    T = ntx * nty * batch
+    K = MAX_PER_TILE
+    dup2 = int(os.environ.get("BENCH_DUP", "3")) ** 2
+    C = 3
+    CR = 6 + C
+    P = 256
+    f32 = 4
+    # one-pass logical bytes (read+write) per step, fwd+bwd
+    b_project = 2 * n * (60 + 40) * f32 // 4  # params+intermediates, fwd+bwd
+    b_sort_sel = 2 * (dup2 * n) * 2 * f32      # 2-operand key sort, 1 pass
+    b_gather = 2 * (T * K) * CR * f32          # record gather fwd
+    b_blend = 2 * (2 * T * CR * K * f32 + 2 * (C + 1) * T * P * f32)
+    b_combine = 2 * (T * K) * (CR + 1) * f32 * 2  # bwd sort+combine, 1 pass each
+    bytes_total = b_project + b_sort_sel + b_gather + b_blend + b_combine
+    # MXU MACs: blend fwd ~ T*(2*P*8*K + 0.25*P*K^2 + (C+1)*P*K)*2(split),
+    # bwd ~ 2.5x fwd (recompute + transposes)
+    macs_fwd = T * (2 * P * 8 * K + 0.25 * P * K * K + (C + 1) * P * K) * 2
+    flops = 2 * macs_fwd * 3.5
+    gbs = bytes_total / dt / 1e9
+    tflops = flops / dt / 1e12
+    out = {
+        "step_ms": round(dt * 1e3, 3),
+        "logical_bytes_mb": round(bytes_total / 1e6, 1),
+        "implied_gbs": round(gbs, 2),
+        "implied_tflops": round(tflops, 2),
+        "hbm_frac_nominal": round(gbs / V5E_HBM_GBS, 4),
+        "hbm_frac_rig_dense": round(gbs / RIG_DENSE_GBS, 4),
+        "mxu_frac_nominal": round(tflops / V5E_BF16_TFLOPS, 4),
+    }
+    return out
 
 
 if __name__ == "__main__":

@@ -68,6 +68,7 @@ def rasterize_collective(
     use_pallas: bool = False,
     banded: bool = False,
     shard_select: bool = False,
+    front_margin=None,
 ):
     """Rasterize from per-shard Gaussian arrays; returns (image, aux):
     the full [C, H, W] image (replicated within the axis group) and a
@@ -140,7 +141,7 @@ def rasterize_collective(
         return _rasterize_shard_select(
             proj, (xy, conic, opac, color), camera, bg_color, axis,
             n_shards, my, n_tiles_x, n_tiles_y, n_tiles, tiles_per_shard,
-            max_per_tile, dup, banded, use_pallas,
+            max_per_tile, dup, banded, use_pallas, front_margin,
         )
 
     sort_depth = jnp.where(valid, depth, jnp.inf)
@@ -295,18 +296,33 @@ def _assemble_image(
 def _rasterize_shard_select(
     proj, gathered, camera, bg_color, axis, n_shards, my,
     n_tiles_x, n_tiles_y, n_tiles, tiles_per_shard,
-    max_per_tile, dup, banded, use_pallas,
+    max_per_tile, dup, banded, use_pallas, front_margin=None,
 ):
     """Sharded-selection collective raster (see rasterize_collective's
-    shard_select doc): local front-K per tile from the N/m shard, one
+    shard_select doc): local front-F per tile from the N/m shard, one
     all_to_all of the per-tile lists, one batched (depth, index) merge
     sort; records stay in ORIGINAL (unsorted) global order — the blend
     consumes depth-ordered indices directly, so there is no global
-    argsort and no record reorder at all."""
+    argsort and no record reorder at all.
+
+    front_margin=None ships full front-K lists (merge keys per device
+    stay a FIXED m*K per tile — the term SCALING_r04.json names as the
+    4-device efficiency cap). An int ships only the front
+    F = ceil(K/m) + margin entries per shard per tile, so both the
+    all_to_all volume and the merge keys scale ~1/m. Exact whenever no
+    shard's truncated list could have reached the merged K-th entry;
+    the conservative `merge_overflow` counter (compared at the local
+    sort's depth-quantum granularity) reports potential misses so
+    callers can widen the margin — the dup-widening pattern
+    (VERDICT r4 #6)."""
     from d3ga_tpu.raster.tiles import _select_per_tile_depthkey
 
     H, W = camera.height, camera.width
     K = max_per_tile
+    if front_margin is None:
+        F = K
+    else:
+        F = min(K, -(-K // n_shards) + int(front_margin))
     xy_g, conic_g, opac_g, color_g = gathered
     C0 = color_g.shape[-1]
     records0 = jnp.concatenate(
@@ -315,13 +331,13 @@ def _rasterize_shard_select(
     n_global = records0.shape[0]
     n_loc = proj.xy.shape[0]
 
-    # --- local per-tile front-K over ALL tiles (keys: dup^2 * N/m) ----
+    # --- local per-tile front-F over ALL tiles (keys: dup^2 * N/m) ----
     valid_l = proj.valid & (proj.radius > 0)
     rects_l = tile_rect(proj.xy, proj.radius, TILE, n_tiles_x, n_tiles_y)
     idx_l, counts_l, drop_l, _ties, dep_l = _select_per_tile_depthkey(
-        rects_l, valid_l, proj.depth, n_tiles_x, n_tiles_y, K,
+        rects_l, valid_l, proj.depth, n_tiles_x, n_tiles_y, F,
         dup=dup, return_depth=True,
-    )  # [T, K] local indices (-1 pad), [T], [], [], [T, K] depths (inf pad)
+    )  # [T, F] local indices (-1 pad), [T], [], [], [T, F] depths (inf pad)
 
     # --- exchange: every tile owner gets all shards' lists ------------
     t_pad = n_shards * tiles_per_shard - n_tiles
@@ -330,22 +346,49 @@ def _rasterize_shard_select(
         dep_l = jnp.pad(dep_l, ((0, t_pad), (0, 0)), constant_values=jnp.inf)
         counts_l = jnp.pad(counts_l, (0, t_pad))
     rows_l = jnp.where(idx_l >= 0, idx_l + my * n_loc, n_global)
-    split = lambda x: x.reshape(n_shards, tiles_per_shard, K)  # noqa: E731
-    rows_x = jax.lax.all_to_all(split(rows_l), axis, 0, 0)      # [m, tps, K]
+    split = lambda x: x.reshape(n_shards, tiles_per_shard, F)  # noqa: E731
+    rows_x = jax.lax.all_to_all(split(rows_l), axis, 0, 0)      # [m, tps, F]
     dep_x = jax.lax.all_to_all(split(dep_l), axis, 0, 0)
     cnt_x = jax.lax.all_to_all(
         counts_l.reshape(n_shards, tiles_per_shard, 1), axis, 0, 0
     )[..., 0]                                                    # [m, tps]
 
     # --- merge: one batched (depth, global index) sort ----------------
-    dep_m = jnp.transpose(dep_x, (1, 0, 2)).reshape(tiles_per_shard, n_shards * K)
-    rows_m = jnp.transpose(rows_x, (1, 0, 2)).reshape(tiles_per_shard, n_shards * K)
+    mF = n_shards * F
+    dep_m = jnp.transpose(dep_x, (1, 0, 2)).reshape(tiles_per_shard, mF)
+    rows_m = jnp.transpose(rows_x, (1, 0, 2)).reshape(tiles_per_shard, mF)
     dep_s, rows_s = jax.lax.sort((dep_m, rows_m), num_keys=2, dimension=-1)
-    rows_k = rows_s[:, :K]
+    kk = min(K, mF)
+    rows_k = rows_s[:, :kk]
+    if kk < K:
+        rows_k = jnp.pad(rows_k, ((0, 0), (0, K - kk)), constant_values=n_global)
     counts = jnp.sum(cnt_x, axis=0)                              # [tps] true totals
     eff = jnp.minimum(counts, K)
     live = jax.lax.broadcasted_iota(jnp.int32, (tiles_per_shard, K), 1) < eff[:, None]
     idx = jnp.where(live, rows_k, n_global)
+
+    merge_overflow = jnp.int32(-1)
+    if F < K:
+        # Could a shard's UNSENT (F+1)-th entry have made the merged
+        # front-K? Conservative trip at the local key sort's
+        # depth-quantum granularity: unsent entries are >= the last
+        # shipped entry's QUANTIZED depth, so compare quanta.
+        depth_bits = min(22, 31 - int(n_tiles + 1).bit_length())
+
+        def dq(x):
+            i = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+            # inf stays maximal; depths are positive (bit 31 clear)
+            return i >> (31 - depth_bits)
+
+        kth_dep = dep_s[:, kk - 1]                                # [tps]
+        # tiles with fewer than K live entries keep EVERY candidate ->
+        # any unsent entry belongs in the image: kth quantum = +inf
+        kth_q = jnp.where(counts > K, dq(kth_dep), jnp.int32(2**30))
+        last_q = dq(dep_x[:, :, F - 1])                           # [m, tps]
+        trip = (cnt_x > F) & (last_q <= kth_q[None, :])
+        merge_overflow = jnp.sum(
+            jnp.where(trip, cnt_x - F, 0)
+        ).astype(jnp.int32)
 
     # --- blend (records in original order; K axis is depth-ordered) ---
     records_ext = jnp.concatenate(
@@ -381,6 +424,7 @@ def _rasterize_shard_select(
         max_per_tile=jnp.max(counts),
         n_contrib=jnp.sum(eff),
         visible_overflow=visible_cap_drops(tbg_tiles, counts, K) + drop_l,
+        merge_overflow=merge_overflow,
     )
     image = _assemble_image(
         my_tiles, my, axis, n_shards, tiles_per_shard,
@@ -411,6 +455,7 @@ def rasterize_sharded(
     use_pallas: bool = False,
     axis: str = "model",
     shard_select: bool = False,
+    front_margin=None,
 ):
     """Top-level wrapper: shards full Gaussian arrays over `axis`, runs
     the collective rasterizer, returns the (replicated) image. Used for
@@ -468,9 +513,26 @@ def rasterize_sharded(
             super_factor=super_factor, coarse=coarse, dup=dup,
             use_pallas=use_pallas,
             shard_select=shard_select,
+            front_margin=front_margin,
             **{k: local.get(k) for k in args},
         )
-        return img, jax.lax.psum(aux.overflow, axis)
+
+        def agg(x, reduce=jax.lax.psum):
+            x = jnp.asarray(x)
+            # -1 sentinel fields (not computed) stay -1; the sentinel
+            # choice is uniform across shards so the where is too
+            return jnp.where(x < 0, x, reduce(jnp.maximum(x, 0), axis))
+
+        aux_g = RasterAux(
+            overflow=agg(aux.overflow),
+            max_per_tile=agg(aux.max_per_tile, jax.lax.pmax),
+            n_contrib=agg(aux.n_contrib),
+            visible_overflow=agg(aux.visible_overflow),
+            depth_ties=agg(aux.depth_ties),
+            clamp_overflow=agg(aux.clamp_overflow),
+            merge_overflow=agg(aux.merge_overflow),
+        )
+        return img, aux_g
 
     shard = P(axis)
     rep = P()

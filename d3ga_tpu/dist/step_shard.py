@@ -159,6 +159,7 @@ def make_sharded_train_step(
     banded=None,
     shard_select: bool = True,
     select_dup: int = 3,
+    front_margin=None,
 ):
     """Returns (step, shard_batch) where step(params, opt_state, batch,
     rng, iteration) runs one sharded forward/backward/update and
@@ -197,6 +198,7 @@ def make_sharded_train_step(
     raster = partial(
         rasterize_collective, axis="model", n_shards=m, banded=banded,
         shard_select=shard_select, dup=select_dup,
+        front_margin=front_margin,
     )
 
     def loss_fn(params, batch, rng, iteration):

@@ -181,11 +181,16 @@ def _iter_tiles(G, one_tile):
         jax.lax.fori_loop(0, G, body, jnp.int32(0))
 
 
-def _forward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
+def _forward_body_ct(G, C, FR, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
     # Per-tile output row [C+1, P] written like the rec blocks — no
     # in-kernel reshapes/transposes of the lane dim (Mosaic cannot
     # relayout them); XLA assembles the image (transposes are cheap on
     # this rig, rows are not — this layout is 19k output rows).
+    # FR (frame rows): tile-row period after which pixel-y restarts —
+    # the batched path stacks frames vertically in tile space
+    # (`tiles.rasterize_tiled_batch`), so records keep PER-FRAME global
+    # pixel coords and sy wraps every FR tile rows (exact int math; no
+    # f32 offset rounding).
     basis = basis_ref[0]
     tri = tri_ref[...]
     i = pl.program_id(0)
@@ -196,7 +201,7 @@ def _forward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
     def one_tile(b):
         cnt = cnt_ref[i, j * G + b]
         sx = ((j * G + b) * TILE).astype(jnp.float32)
-        sy = (i * TILE).astype(jnp.float32)
+        sy = ((i % FR) * TILE).astype(jnp.float32)
 
         @pl.when(cnt == 0)
         def _():
@@ -226,7 +231,7 @@ def _forward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
     _iter_tiles(G, one_tile)
 
 
-def _backward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref):
+def _backward_body_ct(G, C, FR, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref):
     basis = basis_ref[0]
     tri = tri_ref[...]
     i = pl.program_id(0)
@@ -237,7 +242,7 @@ def _backward_body_ct(G, C, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_re
     def one_tile(b):
         cnt = cnt_ref[i, j * G + b]
         sx = ((j * G + b) * TILE).astype(jnp.float32)
-        sy = (i * TILE).astype(jnp.float32)
+        sy = ((i % FR) * TILE).astype(jnp.float32)
 
         @pl.when(cnt == 0)
         def _():
@@ -287,10 +292,11 @@ def _pad_x(ntx):
     return (-ntx) % G_CT
 
 
-def _run_forward_ct(rec, counts, ntx, nty, C, interpret=False):
+def _run_forward_ct(rec, counts, ntx, nty, C, interpret=False, frame_rows=0):
     T, CR, K = rec.shape
     assert T == ntx * nty
     G = G_CT
+    FR = frame_rows or nty
     px = _pad_x(ntx)
     rec4 = rec.reshape(nty, ntx, CR, K)
     cnt2 = counts.reshape(nty, ntx)
@@ -300,7 +306,7 @@ def _run_forward_ct(rec, counts, ntx, nty, C, interpret=False):
         cnt2 = jnp.pad(cnt2, ((0, 0), (0, px)))
     nxp = ntx + px
     out = pl.pallas_call(
-        partial(_forward_body_ct, G, C),
+        partial(_forward_body_ct, G, C, FR),
         grid=(nty, nxp // G),
         in_specs=[
             pl.BlockSpec((1, G, CR, K), lambda i, j: (i, j, 0, 0)),
@@ -331,9 +337,10 @@ def _g_to_tiles(g, ntx, nty, nxp, C):
     return gg
 
 
-def _run_backward_ct(rec, counts, g, ntx, nty, C, interpret=False):
+def _run_backward_ct(rec, counts, g, ntx, nty, C, interpret=False, frame_rows=0):
     T, CR, K = rec.shape
     G = G_CT
+    FR = frame_rows or nty
     px = _pad_x(ntx)
     rec4 = rec.reshape(nty, ntx, CR, K)
     cnt2 = counts.reshape(nty, ntx)
@@ -343,7 +350,7 @@ def _run_backward_ct(rec, counts, g, ntx, nty, C, interpret=False):
     nxp = ntx + px
     gg = _g_to_tiles(g, ntx, nty, nxp, C)
     drec = pl.pallas_call(
-        partial(_backward_body_ct, G, C),
+        partial(_backward_body_ct, G, C, FR),
         grid=(nty, nxp // G),
         in_specs=[
             pl.BlockSpec((1, G, CR, K), lambda i, j: (i, j, 0, 0)),
@@ -361,23 +368,31 @@ def _run_backward_ct(rec, counts, g, ntx, nty, C, interpret=False):
     return drec.reshape(T, CR, K)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def blend_image_ct(rec, counts, ntx, nty, C, interpret=False):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def blend_image_ct(rec, counts, ntx, nty, C, interpret=False, frame_rows=0):
     """Transposed-record image blend: rec [T, CR, K] (CR = 6 + C rows:
     x, y, conicA, conicB, conicC, opacity, colors...; xy in GLOBAL pixel
     coords; depth-rank order along K; zero-sentinel columns for padding).
     Returns the assembled padded PLANAR image [(C+1), nty*16, ntx*16]
-    with T_bg in the last plane; caller composites bg and crops."""
-    return _run_forward_ct(rec, counts, ntx, nty, C, interpret)
+    with T_bg in the last plane; caller composites bg and crops.
+    frame_rows (batched path): pixel-y coordinate period in tile rows —
+    0 means nty (single frame)."""
+    return _run_forward_ct(rec, counts, ntx, nty, C, interpret, frame_rows)
 
 
-def _fwd_ct(rec, counts, ntx, nty, C, interpret):
-    return _run_forward_ct(rec, counts, ntx, nty, C, interpret), (rec, counts)
+def _fwd_ct(rec, counts, ntx, nty, C, interpret, frame_rows):
+    return (
+        _run_forward_ct(rec, counts, ntx, nty, C, interpret, frame_rows),
+        (rec, counts),
+    )
 
 
-def _bwd_ct(ntx, nty, C, interpret, res, g):
+def _bwd_ct(ntx, nty, C, interpret, frame_rows, res, g):
     rec, counts = res
-    return (_run_backward_ct(rec, counts, g, ntx, nty, C, interpret), None)
+    return (
+        _run_backward_ct(rec, counts, g, ntx, nty, C, interpret, frame_rows),
+        None,
+    )
 
 
 blend_image_ct.defvjp(_fwd_ct, _bwd_ct)

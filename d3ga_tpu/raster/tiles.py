@@ -67,6 +67,14 @@ from d3ga_tpu.raster.project import project_gaussians, tile_rect
 #               lowers to argsort+scatter (~6.7 ms), and the custom_vjp
 #               boundary costs the FORWARD gather its fusion (1.2 ->
 #               10.2 ms). See PERF_NOTES "backward-combine floor".
+#   "segsum"  — (dupsort_depth + ct layout only) round 5: gather+blend
+#               wrapped in ONE custom_vjp (forward keeps its fusion —
+#               the runsort lesson); backward = ONE multi-operand sort
+#               carrying all CR cotangent columns (2.7 ms measured,
+#               tools/segsum_probe.py — the round-4 floor assumed this
+#               was 6-8 ms) + a Pallas windowed one-hot-matmul
+#               segmented sum (pallas_segsum.py) instead of the
+#               11.2 ms XLA scatter-add.
 REC_GRAD = os.environ.get("D3GA_REC_GRAD", "add")
 # Depth-reorder strategy: "argsort" (argsort + row gather) or
 # "sortpayload" (ONE multi-operand lax.sort carrying all record
@@ -112,6 +120,15 @@ class RasterAux(NamedTuple):
     # the auto-widener can tell "widen dup" apart from "raise the
     # per-tile K budget". -1 = not computed.
     clamp_overflow: jnp.ndarray = -1
+    # sharded selection with a front-F exchange (dist/raster_shard.py,
+    # front_margin set): entries a shard MIGHT have contributed to a
+    # tile's merged front-K beyond the F it shipped (conservative, at
+    # the local sort's depth-quantum granularity). 0 = the truncated
+    # exchange provably merged the same front-K as the full one;
+    # callers widen the margin (or fall back to the full exchange) on
+    # a nonzero count — the dup-widening counter pattern. -1 = full
+    # exchange / not computed.
+    merge_overflow: jnp.ndarray = -1
 
 
 def visible_cap_drops(t_bg_max, counts, K):
@@ -863,90 +880,6 @@ def _select_per_tile(
     return out, counts, block_overflow
 
 
-def _select_per_tile_batch(
-    rects_sorted, valid_sorted, n_tiles_x, n_tiles_y, K,
-    block=8, block_cap=4096,
-):
-    """Batched variant of `_select_per_tile` over a leading frame axis:
-    all inputs [B, N], returns (ranks [B, T, K], counts [B, T],
-    block_overflow [] summed over frames).
-
-    Identical math; sorts/top_k run on reshaped [B*rows, cols] so no
-    vmap ever touches a sort (vmapped sorts crash/slow the remote
-    TPU compiler — the explicit batch axis is the reliable form)."""
-    xmin, xmax, ymin, ymax = rects_sorted
-    B, n = xmin.shape
-    assert n_tiles_x < 256 and n_tiles_y < 256
-    nbx = -(-n_tiles_x // block)
-    nby = -(-n_tiles_y // block)
-    n_blocks = nbx * nby
-    kb = min(block_cap, n)
-
-    ranks = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
-    packed = xmin | (xmax << 8) | (ymin << 16) | (ymax << 24)
-
-    bids = jnp.arange(n_blocks, dtype=jnp.int32)
-    bx0 = (bids % nbx) * block
-    by0 = (bids // nbx) * block
-    b_overlap = (
-        valid_sorted[:, None, :]
-        & (bx0[None, :, None] < xmax[:, None, :])
-        & (bx0[None, :, None] + block > xmin[:, None, :])
-        & (by0[None, :, None] < ymax[:, None, :])
-        & (by0[None, :, None] + block > ymin[:, None, :])
-    )  # [B, NB, N]
-    b_score = jnp.where(b_overlap, ranks[:, None, :], BIG_RANK)
-    block_ranks = -jax.lax.top_k(-b_score.reshape(B * n_blocks, n), kb)[0]
-    block_ranks = block_ranks.reshape(B, n_blocks, kb)
-    block_counts = jnp.sum(b_overlap.astype(jnp.int32), axis=-1)
-    block_overflow = jnp.sum(jnp.maximum(block_counts - kb, 0))
-
-    tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
-    T = tile_ids.shape[0]
-    txs = tile_ids % n_tiles_x
-    tys = tile_ids // n_tiles_x
-    block_of_tile = (tys // block) * nbx + (txs // block)
-
-    cvalid_b = block_ranks < BIG_RANK
-    safe_b = jnp.where(cvalid_b, block_ranks, 0)
-    packed_b = jnp.where(
-        cvalid_b,
-        jnp.take_along_axis(packed, safe_b.reshape(B, -1), axis=1).reshape(
-            B, n_blocks, kb
-        ),
-        0,
-    )
-
-    cand = block_ranks[:, block_of_tile]   # [B, T, kb]
-    cpacked = packed_b[:, block_of_tile]
-    cvalid = cand < BIG_RANK
-    cxmin = cpacked & 0xFF
-    cxmax = (cpacked >> 8) & 0xFF
-    cymin = (cpacked >> 16) & 0xFF
-    cymax = (cpacked >> 24) & 0xFF
-    overlap = (
-        cvalid
-        & (txs[None, :, None] >= cxmin)
-        & (txs[None, :, None] < cxmax)
-        & (tys[None, :, None] >= cymin)
-        & (tys[None, :, None] < cymax)
-    )  # [B, T, kb]
-    j = jax.lax.broadcasted_iota(jnp.int32, (B, T, kb), 2)
-    key = jnp.where(overlap, j, kb)
-    first_k = -jax.lax.top_k(-key.reshape(B * T, kb), min(K, kb))[0]
-    first_k = first_k.reshape(B, T, min(K, kb))
-    hit = first_k < kb
-    out = jnp.where(
-        hit,
-        jnp.take_along_axis(cand, jnp.where(hit, first_k, 0), axis=2),
-        BIG_RANK,
-    )
-    if K > kb:
-        out = jnp.pad(out, ((0, 0), (0, 0), (0, K - kb)), constant_values=BIG_RANK)
-    counts = jnp.sum(overlap.astype(jnp.int32), axis=2)
-    return out, counts, block_overflow
-
-
 def rasterize_tiled_batch(
     means3d,
     cameras: Camera,
@@ -959,21 +892,41 @@ def rasterize_tiled_batch(
     max_per_tile: int = 256,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    coarse: str = "dupsort_depth",
+    dup: int = 3,
+    depth_exact: bool = False,
 ):
     """Batched-over-frames rasterization: means3d [B, N, 3], `cameras` a
     Camera whose array fields carry a leading B (same static W/H), bg
     [C] or [B, C]. Returns (images [B, C, H, W], RasterAux).
 
-    Per-frame work is identical to `rasterize_tiled`; the batch rides as
-    a leading axis through every stage (reshape-batched sorts/top_k, one
-    big blend over B*T tiles), which amortizes fixed per-op dispatch
-    overhead — the TPU-native replacement for the CUDA reference's
-    one-frame-per-step loop (`/root/reference/train.py:150-258`)."""
+    Round 5: the batch is folded into the TILE GRID — frames stack
+    vertically in tile space (frame f owns tile rows [f*nty, (f+1)*nty))
+    and the whole batch runs through the SAME champion machinery as
+    `rasterize_tiled`: one `_select_per_tile_depthkey` (tile|depth|index)
+    sort over B*dup^2*N keys with clamp/tie/overflow accounting, one
+    record gather, one ct blend over B*T tiles (records keep per-frame
+    pixel coords; the kernel's pixel-y origin wraps every `frame_rows`
+    tile rows, so per-frame outputs are BIT-IDENTICAL to single-frame
+    calls whenever the depth-quantization width matches). This replaces
+    the round-2 topk-funnel batch path, which had silently weaker
+    overflow semantics (no depth ties, no clamp/visible split —
+    VERDICT r4 #6). The TPU-native analog of the CUDA reference's
+    one-frame-per-step loop (`/root/reference/train.py:150-258`).
+
+    `coarse` accepts "dupsort_depth" only (the champion); kept as a
+    parameter so callers fail loudly rather than silently changing
+    semantics."""
+    assert coarse == "dupsort_depth", (
+        "rasterize_tiled_batch runs the champion dupsort_depth selection;"
+        " other funnels are single-frame only"
+    )
     B, N = means3d.shape[:2]
     H, W = cameras.height, cameras.width
     n_tiles_x = -(-W // TILE)
     n_tiles_y = -(-H // TILE)
     n_tiles = n_tiles_x * n_tiles_y
+    nty_total = B * n_tiles_y
 
     def project_one(args):
         m, cam_wv, cam_fp, cam_cc, tfx, tfy, cv, op, co = args
@@ -1002,77 +955,108 @@ def rasterize_tiled_batch(
             cov3d, opacities, colors,
         )
     )
-    valid = proj.valid & (proj.radius > 0)
-
-    sort_depth = jnp.where(valid, proj.depth, jnp.inf)
-    order = jnp.argsort(sort_depth, axis=-1, stable=True)  # [B, N]
+    valid = (proj.valid & (proj.radius > 0)).reshape(B * N)
 
     C = proj.color.shape[-1]
     records = jnp.concatenate(
         [proj.xy, proj.conic, proj.opacity[..., None], proj.color], axis=-1
-    )
-    records, radius_s, valid_s = reorder_records(
-        records, proj.radius, valid, order, batched=True
-    )
-    xy_s = records[..., 0:2]
+    ).reshape(B * N, -1)
 
+    # per-frame tile rects, shifted into the stacked grid in INT tile
+    # coords (exact — pixel coords stay per-frame) and clamped to the
+    # frame's tile-row band
     rects = tile_rect(
-        xy_s.reshape(B * N, 2), radius_s.reshape(B * N), TILE, n_tiles_x, n_tiles_y
+        proj.xy.reshape(B * N, 2), proj.radius.reshape(B * N), TILE,
+        n_tiles_x, n_tiles_y,
     )
-    rects = tuple(r.reshape(B, N) for r in rects)
-    ranks, counts, block_overflow = _select_per_tile_batch(
-        rects, valid_s, n_tiles_x, n_tiles_y, max_per_tile
+    xmin, xmax, ymin, ymax = rects
+    f_row = jnp.repeat(
+        jnp.arange(B, dtype=jnp.int32) * n_tiles_y, N
     )
-    sel_valid = ranks < BIG_RANK
-    safe_ranks = jnp.where(sel_valid, ranks, 0)
+    ymin = ymin + f_row
+    ymax = ymax + f_row
+    rects = (xmin, xmax, ymin, ymax)
+
+    ranks, counts, block_overflow, depth_ties = _select_per_tile_depthkey(
+        rects, valid, proj.depth.reshape(B * N), n_tiles_x, nty_total,
+        max_per_tile, dup=dup, depth_exact=depth_exact,
+    )
+    sel_valid = ranks >= 0
 
     K = max_per_tile
-    rec_t = jnp.take_along_axis(
-        records, safe_ranks.reshape(B, -1)[..., None], axis=1
-    ).reshape(B, n_tiles, K, -1)
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_origin = jnp.stack([(tids % n_tiles_x) * TILE, (tids // n_tiles_x) * TILE], -1)
-
-    # fold frames into the tile axis: ONE blend over B*T tiles
-    rec_f = rec_t.reshape(B * n_tiles, K, -1)
-    sel_f = sel_valid.reshape(B * n_tiles, K)
-    origin_f = jnp.tile(tile_origin, (B, 1))
-    xy_t = rec_f[..., 0:2]
-    conic_t = rec_f[..., 2:5]
-    opac_t = rec_f[..., 5]
-    color_t = rec_f[..., 6:]
-
-    bg = jnp.asarray(bg_color)
-    if bg.ndim == 1:
-        bg_tiles = jnp.broadcast_to(bg, (B * n_tiles, C))
-    else:
-        bg_tiles = jnp.repeat(bg, n_tiles, axis=0)  # [B*T, C]
+    records_ext = jnp.concatenate(
+        [records, jnp.zeros((1, records.shape[1]), records.dtype)], axis=0
+    )
+    idx = jnp.where(sel_valid, ranks, jnp.int32(B * N))
+    cnts = jnp.minimum(counts, K)
 
     if use_pallas:
-        from d3ga_tpu.raster.pallas_blend import blend_tiles_pallas, falloff_coeffs
+        pallas_interpret = pallas_interpret or jax.default_backend() != "tpu"
+        if REC_GRAD == "segsum":
+            from d3ga_tpu.raster.pallas_segsum import blend_gather_segsum_ct
 
-        xy_local = xy_t - origin_f[:, None, :].astype(xy_t.dtype)
-        coeffs = falloff_coeffs(xy_local, conic_t)
-        opac_in = jnp.where(sel_f, opac_t, 0.0)[:, None, :]
-        out = blend_tiles_pallas(coeffs, color_t, opac_in, pallas_interpret)
-        rgb = out[..., :-1] + out[..., -1:] * bg_tiles[:, None, :]
-        tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
+            out = blend_gather_segsum_ct(
+                records_ext, idx, cnts, n_tiles_x, nty_total, C, dup * dup,
+                pallas_interpret, n_tiles_y,
+            )
+        else:
+            from d3ga_tpu.raster.pallas_blend_ct import blend_image_ct
+
+            rec_t = records_ext[idx]  # [B*T, K, 6+C]
+            out = blend_image_ct(
+                jnp.swapaxes(rec_t, 1, 2), cnts, n_tiles_x, nty_total, C,
+                pallas_interpret, n_tiles_y,
+            )  # [(C+1), B*nty*16, ntx*16] planar, T_bg last plane
+        out = out.reshape(C + 1, B, n_tiles_y * TILE, n_tiles_x * TILE)
+        out = jnp.transpose(out, (1, 0, 2, 3))  # [B, C+1, Hp, Wp]
+        bg = jnp.asarray(bg_color)
+        if bg.ndim == 1:
+            bg = jnp.broadcast_to(bg, (B, C))
+        images = (
+            out[:, :C] + out[:, C:] * bg[:, :, None, None]
+        )[:, :, :H, :W]
+        tbg_tiles = out[:, C].reshape(
+            B, n_tiles_y, TILE, n_tiles_x, TILE
+        ).max((2, 4)).reshape(-1)
     else:
-        # bg folded in per tile via the broadcast below
+        safe_ranks = jnp.where(sel_valid, ranks, 0)
+        rec_t = records[safe_ranks]  # [B*T, K, 6+C]
+        xy_t = rec_t[..., 0:2]
+        conic_t = rec_t[..., 2:5]
+        opac_t = rec_t[..., 5]
+        color_t = rec_t[..., 6:]
+
+        # LOCAL per-frame tile origins (records keep per-frame coords)
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
+        tile_origin = jnp.stack(
+            [(tids % n_tiles_x) * TILE, (tids // n_tiles_x) * TILE], -1
+        )
+        origin_f = jnp.tile(tile_origin, (B, 1))
+
+        bg = jnp.asarray(bg_color)
+        if bg.ndim == 1:
+            bg_tiles = jnp.broadcast_to(bg, (B * n_tiles, C))
+        else:
+            bg_tiles = jnp.repeat(bg, n_tiles, axis=0)  # [B*T, C]
         tiles = _blend_tiles_bg(
-            xy_t, conic_t, color_t, opac_t, sel_f, bg_tiles, origin_f
+            xy_t, conic_t, color_t, opac_t, sel_valid, bg_tiles, origin_f
         )
 
-    img = tiles.reshape(B, n_tiles_y, n_tiles_x, TILE, TILE, C + 1)
-    img = jnp.transpose(img, (0, 1, 3, 2, 4, 5)).reshape(
-        B, n_tiles_y * TILE, n_tiles_x * TILE, C + 1
-    )[:, :H, :W]
-    images = jnp.transpose(img[..., :C], (0, 3, 1, 2))
+        img = tiles.reshape(B, n_tiles_y, n_tiles_x, TILE, TILE, C + 1)
+        img = jnp.transpose(img, (0, 1, 3, 2, 4, 5)).reshape(
+            B, n_tiles_y * TILE, n_tiles_x * TILE, C + 1
+        )[:, :H, :W]
+        images = jnp.transpose(img[..., :C], (0, 3, 1, 2))
+        tbg_tiles = 1.0 - tiles[..., C].min(axis=1)
 
     aux = RasterAux(
         overflow=jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + block_overflow,
         max_per_tile=jnp.max(counts),
         n_contrib=jnp.sum(jnp.minimum(counts, max_per_tile)),
+        visible_overflow=visible_cap_drops(tbg_tiles, counts, max_per_tile)
+        + block_overflow,
+        depth_ties=depth_ties,
+        clamp_overflow=block_overflow,
     )
     return images, aux
 
@@ -1499,10 +1483,23 @@ def rasterize_tiled(
         if BLEND_LAYOUT == "ct":
             from d3ga_tpu.raster.pallas_blend_ct import blend_image_ct
 
-            out = blend_image_ct(
-                jnp.swapaxes(rec_t, 1, 2), jnp.minimum(counts, max_per_tile),
-                n_tiles_x, n_tiles_y, C, pallas_interpret,
-            )  # [(C+1), nty*16, ntx*16] planar, T_bg last plane
+            if coarse == "dupsort_depth" and REC_GRAD == "segsum":
+                # gather + blend in ONE custom_vjp whose backward
+                # replaces the XLA scatter-add with the sort +
+                # Pallas segmented-sum combine (pallas_segsum.py)
+                from d3ga_tpu.raster.pallas_segsum import (
+                    blend_gather_segsum_ct,
+                )
+
+                out = blend_gather_segsum_ct(
+                    records_ext, idx, jnp.minimum(counts, max_per_tile),
+                    n_tiles_x, n_tiles_y, C, dup * dup, pallas_interpret,
+                )
+            else:
+                out = blend_image_ct(
+                    jnp.swapaxes(rec_t, 1, 2), jnp.minimum(counts, max_per_tile),
+                    n_tiles_x, n_tiles_y, C, pallas_interpret,
+                )  # [(C+1), nty*16, ntx*16] planar, T_bg last plane
             image = (
                 out[:C] + out[C:] * jnp.asarray(bg_color)[:, None, None]
             )[:, :H, :W]

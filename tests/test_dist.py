@@ -644,13 +644,74 @@ class TestShardSelect:
             means, cam, bg, scales=scales, rotations=rots, opacities=opac,
             colors=colors, max_per_tile=256,
         )
-        img, overflow = rasterize_sharded(
+        img, aux = rasterize_sharded(
             mesh4, means, cam, bg, scales=scales, rotations=rots,
             opacities=opac, colors=colors, max_per_tile=256,
             shard_select=True, dup=8,
         )
-        assert int(overflow) == 0
+        assert int(aux.overflow) == 0
+        # full-K exchange: the merge-overflow counter is not in play
+        assert int(aux.merge_overflow) == -1
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+
+    @pytest.mark.parametrize("margin", [8, 64])
+    def test_front_margin_matches_full_exchange(self, mesh4, margin):
+        """The truncated front-F exchange (VERDICT r4 #6) must render
+        the same image as the full-K exchange whenever merge_overflow
+        reports 0, and the counter must be conservative (0 => identical
+        output)."""
+        cam = simple_camera(w=80, h=64)
+        means, scales, rots, opac, colors = random_scene(
+            jax.random.PRNGKey(7), n=203
+        )
+        bg = jnp.array([0.1, 0.5, 0.9])
+        kw = dict(
+            scales=scales, rotations=rots, opacities=opac, colors=colors,
+            max_per_tile=256, shard_select=True, dup=8,
+        )
+        ref, aux_full = rasterize_sharded(mesh4, means, cam, bg, **kw)
+        img, aux = rasterize_sharded(
+            mesh4, means, cam, bg, front_margin=margin, **kw
+        )
+        assert int(aux.merge_overflow) >= 0
+        if int(aux.merge_overflow) == 0:
+            np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+        # true-count-based counters are exchange-independent
+        assert int(aux.overflow) == int(aux_full.overflow)
+        assert int(aux.max_per_tile) == int(aux_full.max_per_tile)
+
+    def test_front_margin_trips_on_skewed_shards(self, mesh4):
+        """A scene whose Gaussians all land on ONE shard (so one shard
+        must contribute the ENTIRE front-K of dense tiles) must trip the
+        merge_overflow counter rather than silently dropping entries."""
+        n = 64
+        # all Gaussians near the image center, depth-ordered along the
+        # shard axis; sharding puts the first n/4 on shard 0 etc., but
+        # every tile's front-K draws from ALL shards here — build skew
+        # by making shard 0's Gaussians strictly nearest
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        means = jnp.concatenate(
+            [
+                jax.random.uniform(ks[0], (n, 2), minval=-0.05, maxval=0.05),
+                4.0 + jnp.arange(n, dtype=jnp.float32)[:, None] * 0.001,
+            ],
+            axis=-1,
+        )
+        scales = jnp.full((n, 3), 0.05)
+        rots = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+        opac = jnp.full((n, 1), 0.02)  # translucent: deep lists stay live
+        colors = jax.random.uniform(ks[1], (n, 3))
+        cam = simple_camera(w=48, h=32)
+        bg = jnp.zeros(3)
+        # K=16, m=4 -> F = 4 + margin 0 = 4 shipped per shard, but the
+        # front 16 of the central tiles are the 16 NEAREST Gaussians =
+        # shard 0's entire 16-deep list
+        img, aux = rasterize_sharded(
+            mesh4, means, cam, bg, scales=scales, rotations=rots,
+            opacities=opac, colors=colors, max_per_tile=16,
+            shard_select=True, dup=8, front_margin=0,
+        )
+        assert int(aux.merge_overflow) > 0
 
     def test_gradients_match_single_device(self, mesh4):
         cam = simple_camera(w=48, h=32)

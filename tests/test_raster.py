@@ -585,7 +585,10 @@ class TestRenderAPI:
 
 
 class TestBatchedRaster:
-    """rasterize_tiled_batch must match per-frame rasterize_tiled."""
+    """rasterize_tiled_batch (round 5: frames stacked vertically in tile
+    space through the champion dupsort_depth selection + ct blend) must
+    match per-frame rasterize_tiled AT THE SAME selection semantics and
+    emit the full RasterAux counter set (VERDICT r4 #6)."""
 
     def test_matches_single_frame(self):
         from d3ga_tpu.raster.camera import stack_cameras
@@ -602,6 +605,7 @@ class TestBatchedRaster:
             img, _ = rasterize_tiled(
                 means, cam, bg, scales=scales, rotations=rots,
                 opacities=opac, colors=colors, max_per_tile=64,
+                coarse="dupsort_depth", dup=3,
             )
             refs.append(img)
 
@@ -616,7 +620,49 @@ class TestBatchedRaster:
         )
         for i in range(B):
             np.testing.assert_allclose(
-                np.asarray(imgs[i]), np.asarray(refs[i]), atol=1e-5
+                np.asarray(imgs[i]), np.asarray(refs[i]), atol=1e-6
+            )
+        # the batched path reports the champion counter set (no silent
+        # caps: ties/clamp/visible all computed, not -1)
+        assert int(aux.depth_ties) >= 0
+        assert int(aux.clamp_overflow) >= 0
+        assert int(aux.visible_overflow) >= 0
+
+    def test_pallas_matches_single_frame(self):
+        """use_pallas=True batch path (ct kernel with frame_rows pixel-y
+        wrap + one selection over the stacked grid) vs per-frame pallas
+        renders — per-frame pixel coords make this near-bit-exact."""
+        from d3ga_tpu.raster.camera import stack_cameras
+        from d3ga_tpu.raster.tiles import rasterize_tiled, rasterize_tiled_batch
+
+        B = 2
+        cams = [simple_camera(w=64, h=48) for _ in range(B)]
+        scenes = [random_scene(jax.random.PRNGKey(10 + i), n=200) for i in range(B)]
+        bg = jnp.array([0.2, 0.4, 0.6])
+
+        refs = []
+        for (means, scales, rots, opac, colors), cam in zip(scenes, cams):
+            img, _ = rasterize_tiled(
+                means, cam, bg, scales=scales, rotations=rots,
+                opacities=opac, colors=colors, max_per_tile=64,
+                coarse="dupsort_depth", dup=3, use_pallas=True,
+                pallas_interpret=True,
+            )
+            refs.append(img)
+
+        batch = {
+            k: jnp.stack([s[i] for s in scenes])
+            for i, k in enumerate(("means", "scales", "rots", "opac", "colors"))
+        }
+        imgs, _ = rasterize_tiled_batch(
+            batch["means"], stack_cameras(cams), bg,
+            scales=batch["scales"], rotations=batch["rots"],
+            opacities=batch["opac"], colors=batch["colors"], max_per_tile=64,
+            use_pallas=True, pallas_interpret=True,
+        )
+        for i in range(B):
+            np.testing.assert_allclose(
+                np.asarray(imgs[i]), np.asarray(refs[i]), atol=1e-6
             )
 
     def test_batched_gradients_flow(self):
@@ -647,6 +693,7 @@ class TestBatchedRaster:
                 img, _ = rasterize_tiled(
                     m, cams[i], jnp.zeros(3), scales=scales[i], rotations=rots[i],
                     opacities=opac[i], colors=colors[i], max_per_tile=32,
+                    coarse="dupsort_depth", dup=3,
                 )
                 return jnp.sum(img**2)
 

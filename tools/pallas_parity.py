@@ -38,10 +38,19 @@ def main():
     cov6 = strip_symmetric(covariance_from_scaling_rotation(scales, rots))
     bg = jnp.array([0.2, 0.5, 0.8])
 
+    # PARITY_COARSE/PARITY_DUP select the funnel (default: the topk
+    # funnel, the historical parity config); the champion config is
+    # PARITY_COARSE=dupsort_depth PARITY_DUP=3, which combined with
+    # D3GA_REC_GRAD=segsum exercises the round-5 segmented-sum backward
+    # against the XLA blend + scatter-add reference.
+    coarse = os.environ.get("PARITY_COARSE", "topk")
+    dup = int(os.environ.get("PARITY_DUP", "4"))
+
     def render(use_pallas, means, cov6, opac, colors):
         img, _ = rasterize_tiled(
             means, camera, bg, cov3d=cov6, opacities=opac, colors=colors,
             max_per_tile=MAX_PER_TILE, use_pallas=use_pallas,
+            coarse=coarse, dup=dup,
         )
         return img
 
@@ -51,7 +60,11 @@ def main():
         wgt = jax.random.uniform(jax.random.PRNGKey(7), img.shape)
         return jnp.sum(img * wgt)
 
-    report = {"device": str(jax.devices()[0]), "H": H, "W": W, "K": MAX_PER_TILE}
+    report = {
+        "device": str(jax.devices()[0]), "H": H, "W": W, "K": MAX_PER_TILE,
+        "coarse": coarse, "dup": dup,
+        "rec_grad": os.environ.get("D3GA_REC_GRAD", "add"),
+    }
 
     f_x = jax.jit(lambda *a: render(False, *a))
     f_p = jax.jit(lambda *a: render(True, *a))
@@ -119,7 +132,10 @@ def main():
         "the meaningful columns"
     )
     report["ok"] = bool(ok)
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PALLAS_PARITY.json")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.environ.get("PARITY_OUT", "PALLAS_PARITY.json"),
+    )
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
