@@ -43,6 +43,11 @@ H, W = 512, 512
 N_GAUSS = int(os.environ.get("SCALING_N_GAUSS", "40000"))
 MAX_PER_TILE = 128
 ITERS = int(os.environ.get("SCALING_ITERS", "5"))
+# Front-F truncated exchange (round 5): ship only ceil(K/m)+margin
+# entries per shard per tile so all_to_all volume and merge keys scale
+# ~1/m instead of staying fixed at m*K (the term SCALING_r04.json named
+# as the 4-device cap). Empty = full-K exchange.
+FRONT_MARGIN = os.environ.get("SCALING_FRONT_MARGIN", "")
 
 
 def main():
@@ -89,12 +94,14 @@ def main():
         def padg(x):
             return jnp.pad(x, [(0, padn)] + [(0, 0)] * (x.ndim - 1)) if padn else x
 
+        fm = int(FRONT_MARGIN) if FRONT_MARGIN and n_model > 1 else None
+
         def banded_loss(m_local, cov_l, op_l, col_l):
             img_band, _ = rasterize_collective(
                 m_local, camera, bg, axis="model", n_shards=n_model,
                 cov3d=cov_l, opacities=op_l, colors=col_l,
                 max_per_tile=MAX_PER_TILE, banded=True,
-                shard_select=True, dup=3,
+                shard_select=True, dup=3, front_margin=fm,
             )
             my = jax.lax.axis_index("model")
             rows = my * bh + jnp.arange(bh)
@@ -111,6 +118,24 @@ def main():
             in_specs=(shard, shard, shard, shard),
             out_specs=rep, check_vma=False,
         )
+
+        def probe_aux(m_local, cov_l, op_l, col_l):
+            _, aux = rasterize_collective(
+                m_local, camera, bg, axis="model", n_shards=n_model,
+                cov3d=cov_l, opacities=op_l, colors=col_l,
+                max_per_tile=MAX_PER_TILE, banded=True,
+                shard_select=True, dup=3, front_margin=fm,
+            )
+            mo = jnp.maximum(aux.merge_overflow, 0)
+            return jax.lax.psum(mo, "model"), jax.lax.psum(aux.overflow, "model")
+
+        aux_probe = jax.shard_map(
+            probe_aux, mesh=mesh,
+            in_specs=(shard, shard, shard, shard),
+            out_specs=(rep, rep), check_vma=False,
+        )
+        mo, ov = aux_probe(padg(means), padg(cov6), padg(opac), padg(colors))
+        measure.last_aux = (int(mo), int(ov))  # noqa: attached for report
 
         def loss(m):
             return sharded(padg(m), padg(cov6), padg(opac), padg(colors))
@@ -135,10 +160,12 @@ def main():
     pix_s_1 = H * W / t1
     if n_dev > 1:
         tn = measure(n_dev)
+        aux_n = getattr(measure, "last_aux", None)
         pix_s_n = H * W / tn
         eff = (pix_s_n / pix_s_1) / n_dev
     else:
         tn, pix_s_n, eff = t1, pix_s_1, 1.0
+        aux_n = None
 
     print(
         json.dumps(
@@ -150,6 +177,18 @@ def main():
                 "mpix_s_1dev": round(pix_s_1 / 1e6, 3),
                 "mpix_s_ndev": round(pix_s_n / 1e6, 3),
                 "n_devices": n_dev,
+                "front_margin": FRONT_MARGIN or None,
+                "merge_overflow_ndev": aux_n[0] if aux_n else None,
+                "cap_overflow_ndev": aux_n[1] if aux_n else None,
+                "merge_keys_per_tile": (
+                    n_dev
+                    * min(
+                        MAX_PER_TILE,
+                        -(-MAX_PER_TILE // n_dev) + int(FRONT_MARGIN or 0),
+                    )
+                    if FRONT_MARGIN
+                    else n_dev * MAX_PER_TILE
+                ),
             }
         )
     )

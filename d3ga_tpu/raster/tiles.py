@@ -992,7 +992,9 @@ def rasterize_tiled_batch(
 
     if use_pallas:
         pallas_interpret = pallas_interpret or jax.default_backend() != "tpu"
-        if REC_GRAD == "segsum":
+        from d3ga_tpu.raster.pallas_segsum import block_width
+
+        if REC_GRAD == "segsum" and block_width(dup * dup) >= 128:
             from d3ga_tpu.raster.pallas_segsum import blend_gather_segsum_ct
 
             out = blend_gather_segsum_ct(
@@ -1483,10 +1485,18 @@ def rasterize_tiled(
         if BLEND_LAYOUT == "ct":
             from d3ga_tpu.raster.pallas_blend_ct import blend_image_ct
 
-            if coarse == "dupsort_depth" and REC_GRAD == "segsum":
+            from d3ga_tpu.raster.pallas_segsum import block_width
+
+            if (
+                coarse == "dupsort_depth"
+                and REC_GRAD == "segsum"
+                and block_width(dup * dup) >= 128
+            ):
                 # gather + blend in ONE custom_vjp whose backward
                 # replaces the XLA scatter-add with the sort +
-                # Pallas segmented-sum combine (pallas_segsum.py)
+                # Pallas segmented-sum combine (pallas_segsum.py).
+                # dup > 11 (block_width < 128) falls through to the
+                # scatter-add — the auto-widener never goes past 8.
                 from d3ga_tpu.raster.pallas_segsum import (
                     blend_gather_segsum_ct,
                 )
