@@ -152,7 +152,10 @@ def main():
         super_factor = int(os.environ.get("BENCH_SF", "1"))
         coarse = os.environ.get("BENCH_COARSE", "dupsort_depth")
         dup = int(os.environ.get("BENCH_DUP", "3"))
-        depth_exact = os.environ.get("BENCH_DEPTH_EXACT", "0") == "1"
+        # follows the library default (depth_exact=True since round 5 —
+        # CUDA-exact key semantics at ~0.9% throughput); set 0 to
+        # measure the quantized-key variant
+        depth_exact = os.environ.get("BENCH_DEPTH_EXACT", "1") == "1"
 
         def loss_fn(means, cov6, opac, colors):
             img, _ = rasterize_tiled(

@@ -37,7 +37,7 @@ class RasterSettings:
     dup: int = 2
     # dupsort_depth only: exact f32 depth ordering (CUDA full-bit-
     # pattern keys) instead of quantized + index tie-break
-    depth_exact: bool = False
+    depth_exact: bool = True
 
 
 def rasterize(

@@ -52,7 +52,11 @@ def _segsum_body(CR, B, n_chunks, blk0_ref, g0, g1, id0, id1, mn_ref, mx_ref, ou
     p = pl.program_id(0)
     base = p * B
     base_f = base.astype(jnp.float32)
-    lane_vals = base_f + jax.lax.broadcasted_iota(jnp.float32, (1, B), 1)
+    # Mosaic's tpu.iota is integer-only — build the lane ramp as i32
+    # and convert (an f32 broadcasted_iota fails Mosaic verification)
+    lane_vals = base_f + jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
+        jnp.float32
+    )
     out_ref[...] = jnp.zeros((CR, B), jnp.float32)
     blk0 = blk0_ref[p]
 

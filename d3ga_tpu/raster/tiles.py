@@ -74,8 +74,12 @@ from d3ga_tpu.raster.project import project_gaussians, tile_rect
 #               tools/segsum_probe.py — the round-4 floor assumed this
 #               was 6-8 ms) + a Pallas windowed one-hot-matmul
 #               segmented sum (pallas_segsum.py) instead of the
-#               11.2 ms XLA scatter-add.
-REC_GRAD = os.environ.get("D3GA_REC_GRAD", "add")
+#               11.2 ms XLA scatter-add. Measured on-chip: 21.5 ->
+#               25.9 Mpix/s end-to-end (+21%, experiments/r5) with
+#               parity certified (PALLAS_PARITY.json rec_grad=segsum)
+#               — the round-5 DEFAULT (non-champion paths fall through
+#               to the plain gather/scatter-add unchanged).
+REC_GRAD = os.environ.get("D3GA_REC_GRAD", "segsum")
 # Depth-reorder strategy: "argsort" (argsort + row gather) or
 # "sortpayload" (ONE multi-operand lax.sort carrying all record
 # columns as payloads).
@@ -894,7 +898,7 @@ def rasterize_tiled_batch(
     pallas_interpret: bool = False,
     coarse: str = "dupsort_depth",
     dup: int = 3,
-    depth_exact: bool = False,
+    depth_exact: bool = True,
 ):
     """Batched-over-frames rasterization: means3d [B, N, 3], `cameras` a
     Camera whose array fields carry a leading B (same static W/H), bg
@@ -1351,18 +1355,20 @@ def rasterize_tiled(
     super_factor: int = 1,
     coarse: str = "topk",
     dup: int = 2,
-    depth_exact: bool = False,
+    depth_exact: bool = True,
     return_alpha: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
 ):
     """Render [C, H, W] (+ optional alpha [H, W]) with aux counters.
 
-    depth_exact (dupsort_depth only): carry the full f32 depth through
-    the selection sort so blend order is exactly depth-resolved (the
-    CUDA reference's full-bit-pattern keys, SURVEY.md §3.5); otherwise
-    same-quantum ties break by index and are counted in
-    aux.depth_ties."""
+    depth_exact (dupsort_depth only; round-5 DEFAULT True, measured
+    ~0.9% of throughput on-chip — VERDICT r4 #9): carry the full f32
+    depth through the selection sort so blend order is exactly
+    depth-resolved (the CUDA reference's full-bit-pattern keys,
+    SURVEY.md §3.5); False quantizes to the key's depth bits, breaking
+    same-quantum ties by index, counted in aux.depth_ties (train.py
+    auto-escapes back to exact on a nonzero count)."""
     H, W = camera.height, camera.width
     n_tiles_x = -(-W // TILE)
     n_tiles_y = -(-H // TILE)

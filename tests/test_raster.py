@@ -257,7 +257,7 @@ class TestTiledMatchesOracle:
         ref, _ = rasterize_tiled(means, cam, bg, coarse="dupsort_tile",
                                  dup=8, **kw)
         img_q, aux_q = rasterize_tiled(means, cam, bg, coarse="dupsort_depth",
-                                       dup=8, **kw)
+                                       dup=8, depth_exact=False, **kw)
         img_e, aux_e = rasterize_tiled(means, cam, bg, coarse="dupsort_depth",
                                        dup=8, depth_exact=True, **kw)
         # quantized mode: every adjacent pair shares the quantum
@@ -286,7 +286,7 @@ class TestTiledMatchesOracle:
         # a well-separated scene resolves at 19 bits: quantized == exact
         means2 = means.at[:, 2].set(3.0 + jnp.arange(n, dtype=jnp.float32) * 0.01)
         a, aux_a = rasterize_tiled(means2, cam, bg, coarse="dupsort_depth",
-                                   dup=8, **kw)
+                                   dup=8, depth_exact=False, **kw)
         b, _ = rasterize_tiled(means2, cam, bg, coarse="dupsort_depth",
                                dup=8, depth_exact=True, **kw)
         assert int(aux_a.depth_ties) == 0

@@ -15,7 +15,10 @@ Env knobs: EVALB_H/W, EVALB_N, EVALB_K, EVALB_CHAIN, EVALB_ITERS.
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _wait_for_tpu
 

@@ -550,7 +550,10 @@ def training(config):
                 not use_sharded
                 and metrics.get("raster_depth_ties", -1) > 0
                 and opts.get("coarse") == "dupsort_depth"
-                and not opts.get("depth_exact", False)
+                # lib default is now depth_exact=True (VERDICT r4 #9);
+                # the escape only matters for configs that explicitly
+                # opt into quantized keys
+                and not opts.get("depth_exact", True)
             ):
                 opts["depth_exact"] = True
                 step_cache.clear()
