@@ -397,13 +397,29 @@ def _rasterize_shard_select(
     tile_ids = my * tiles_per_shard + jnp.arange(tiles_per_shard, dtype=jnp.int32)
     tile_ids = jnp.minimum(tile_ids, n_tiles - 1)
     if use_pallas:
-        from d3ga_tpu.raster.pallas_blend_rec import blend_tiles_rec
+        from d3ga_tpu.raster.pallas_segsum import block_width
 
-        rec_t = records_ext[idx]
         interp = jax.default_backend() != "tpu"
-        out = blend_tiles_rec(
-            rec_t, eff, my * tiles_per_shard, n_tiles_x, C0, interp,
-        )
+        if _tiles.REC_GRAD == "segsum" and block_width(dup * dup) >= 128:
+            # round-5 segmented-sum backward combine, sharded flavor:
+            # each device combines its own tiles' cotangents (a
+            # Gaussian's <= dup^2 tiles split across owners, so the
+            # per-device run bound holds); the psum-scatter transpose
+            # of the record all_gather then routes the per-Gaussian
+            # rows back to their shards as before
+            from d3ga_tpu.raster.pallas_segsum import blend_gather_segsum_rec
+
+            out = blend_gather_segsum_rec(
+                records_ext, idx, eff, my * tiles_per_shard, n_tiles_x,
+                C0, dup * dup, interp,
+            )
+        else:
+            from d3ga_tpu.raster.pallas_blend_rec import blend_tiles_rec
+
+            rec_t = records_ext[idx]
+            out = blend_tiles_rec(
+                rec_t, eff, my * tiles_per_shard, n_tiles_x, C0, interp,
+            )
         rgb = out[..., :-1] + out[..., -1:] * bg_color
         my_tiles = jnp.concatenate([rgb, 1.0 - out[..., -1:]], axis=-1)
     else:

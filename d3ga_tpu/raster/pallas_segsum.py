@@ -200,17 +200,61 @@ def _bgs_bwd(ntx, nty, C, dup2, interpret, frame_rows, res, g):
 blend_gather_segsum_ct.defvjp(_bgs_fwd, _bgs_bwd)
 
 
-def combine_from_slots(drec_ct, idx, n, dup2, interpret=False):
-    """[T, CR, K] per-selection cotangents + idx [T, K] Gaussian ids
-    (n = sentinel) -> [n + 1, CR] per-Gaussian gradient rows (sentinel
-    row zero). ONE multi-operand sort orders every column by Gaussian
-    id (2.7 ms at Goliath scale, tools/segsum_probe.py line C), then
-    `combine_sorted` does the segment sums on the MXU."""
-    T, CR, K = drec_ct.shape
+def combine_from_slots(drec, idx, n, dup2, interpret=False, layout="ct"):
+    """Per-selection cotangents + idx [T, K] Gaussian ids (n = sentinel)
+    -> [n + 1, CR] per-Gaussian gradient rows (sentinel row zero). ONE
+    multi-operand sort orders every column by Gaussian id (2.7 ms at
+    Goliath scale, tools/segsum_probe.py line C), then `combine_sorted`
+    does the segment sums on the MXU.
+
+    layout="ct": drec [T, CR, K] (channels-transposed blend kernel);
+    layout="rec": drec [T, K, CR] (flat-tiles rec kernel, the sharded
+    path)."""
+    if layout == "ct":
+        T, CR, K = drec.shape
+        cols = tuple(drec[:, c, :].reshape(T * K) for c in range(CR))
+    else:
+        T, K, CR = drec.shape
+        cols = tuple(drec[:, :, c].reshape(T * K) for c in range(CR))
     m = T * K
-    cols = tuple(drec_ct[:, c, :].reshape(m) for c in range(CR))
     outs = jax.lax.sort((idx.reshape(m),) + cols, num_keys=1)
     ids_sorted = outs[0]
     g_sorted = jnp.stack(outs[1:])
     dg = combine_sorted(ids_sorted, g_sorted, n, dup2, interpret)
     return jnp.concatenate([dg, jnp.zeros((1, CR), jnp.float32)], axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_gather_segsum_rec(
+    records_ext, idx, counts, tile_offset, ntx, C, dup2, interpret=False
+):
+    """Sharded-path analog of `blend_gather_segsum_ct`: record gather +
+    flat-tiles rec blend (`pallas_blend_rec.blend_tiles_rec` contract)
+    with the segmented-sum backward combine. Per-device occurrence
+    bound: a Gaussian appears in at most dup^2 tiles GLOBALLY and each
+    tile is owned by exactly one device, so each device's idx holds <= dup^2
+    copies of any id — the `combine_sorted` window invariant."""
+    from d3ga_tpu.raster.pallas_blend_rec import _run_forward
+
+    rec_t = records_ext[idx]
+    return _run_forward(rec_t, counts, tile_offset, ntx, C, interpret)
+
+
+def _bgr_fwd(records_ext, idx, counts, tile_offset, ntx, C, dup2, interpret):
+    from d3ga_tpu.raster.pallas_blend_rec import _run_forward
+
+    rec_t = records_ext[idx]
+    out = _run_forward(rec_t, counts, tile_offset, ntx, C, interpret)
+    return out, (rec_t, idx, counts, tile_offset, records_ext.shape[0])
+
+
+def _bgr_bwd(ntx, C, dup2, interpret, res, g):
+    from d3ga_tpu.raster.pallas_blend_rec import _run_backward
+
+    rec_t, idx, counts, tile_offset, n_ext = res
+    drec = _run_backward(rec_t, counts, tile_offset, g, ntx, C, interpret)
+    dre = combine_from_slots(drec, idx, n_ext - 1, dup2, interpret, layout="rec")
+    return (dre, None, None, None)
+
+
+blend_gather_segsum_rec.defvjp(_bgr_fwd, _bgr_bwd)

@@ -89,6 +89,11 @@ REORDER = os.environ.get("D3GA_REORDER", "argsort")
 # per-row operand tax) or "rec" ([T, K, CR] records,
 # pallas_blend_rec.py).
 BLEND_LAYOUT = os.environ.get("D3GA_BLEND_LAYOUT", "ct")
+# Selection segment-extraction strategy (dupsort_depth): "gather"
+# (T*K element gathers at positions starts[t]+k) or "slice" (one
+# dynamic kk-slice per tile — a T-slice XLA gather; candidate for the
+# ~2.5 ms element-gather line, round-5 A/B).
+SELEXT = os.environ.get("D3GA_SELEXT", "gather")
 
 TILE = 16
 ALPHA_SKIP = 1.0 / 255.0
@@ -634,15 +639,39 @@ def _select_per_tile_depthkey(
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     kk = min(K, m)
-    idx2 = jnp.minimum(starts[:-1, None] + jnp.arange(kk, dtype=jnp.int32)[None], m - 1)
-    seg = lo_s[idx2] // dup2 if return_slotmap else lo_s[idx2]
+    if SELEXT == "slice":
+        # extract each tile's front-kk as ONE dynamic K-slice per tile
+        # (an XLA gather of T contiguous slices) instead of T*K element
+        # gathers — element gathers run at ~3.6 ns/element on this rig
+        # (PERF_NOTES), slices are row-rate-bound. kk sentinel padding
+        # keeps every slice in-bounds (dynamic_slice would otherwise
+        # SHIFT the window at the tail and misalign live entries).
+        idx2 = None
+        lo_pad = jnp.concatenate([lo_s, jnp.zeros((kk,), lo_s.dtype)])
+        seg = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(lo_pad, (s,), (kk,))
+        )(starts[:-1])
+        if return_slotmap:
+            seg = seg // dup2
+    else:
+        idx2 = jnp.minimum(
+            starts[:-1, None] + jnp.arange(kk, dtype=jnp.int32)[None], m - 1
+        )
+        seg = lo_s[idx2] // dup2 if return_slotmap else lo_s[idx2]
     j = jax.lax.broadcasted_iota(jnp.int32, (T, kk), 1)
     live = j < jnp.minimum(counts, kk)[:, None]
     out = jnp.where(live, seg, jnp.int32(-1))
     if K > kk:
         out = jnp.pad(out, ((0, 0), (0, K - kk)), constant_values=-1)
     if return_depth:
-        dsel = jnp.where(live, dep_s[idx2], jnp.inf)
+        if idx2 is None:
+            dep_pad = jnp.concatenate([dep_s, jnp.zeros((kk,), dep_s.dtype)])
+            dsel_raw = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(dep_pad, (s,), (kk,))
+            )(starts[:-1])
+        else:
+            dsel_raw = dep_s[idx2]
+        dsel = jnp.where(live, dsel_raw, jnp.inf)
         if K > kk:
             dsel = jnp.pad(dsel, ((0, 0), (0, K - kk)), constant_values=jnp.inf)
         return out, counts, clamp_dropped, ties, dsel

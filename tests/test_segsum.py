@@ -104,6 +104,36 @@ class TestCombineSorted:
         )
 
 
+class TestSelextSlice:
+    def test_slice_extraction_bitmatches_gather(self, monkeypatch):
+        """D3GA_SELEXT=slice (per-tile dynamic K-slice segment
+        extraction) must render bit-identically to the element-gather
+        default, including over-cap tiles and the sentinel tail (the
+        kk padding prevents dynamic_slice window shifting)."""
+        import d3ga_tpu.raster.tiles as tiles
+
+        cam = simple_camera(w=96, h=64)
+        means, scales, rots, opac, colors = random_scene(
+            jax.random.PRNGKey(21), n=500
+        )
+
+        def render():
+            return rasterize_tiled(
+                means, cam, jnp.array([0.3, 0.1, 0.2]), scales=scales,
+                rotations=rots, opacities=opac, colors=colors,
+                max_per_tile=32, coarse="dupsort_depth", dup=3,
+                use_pallas=True, pallas_interpret=True,
+            )
+
+        monkeypatch.setattr(tiles, "SELEXT", "gather")
+        ref, aux_r = render()
+        monkeypatch.setattr(tiles, "SELEXT", "slice")
+        img, aux_s = render()
+        assert np.array_equal(np.asarray(img), np.asarray(ref))
+        for f in aux_r._fields:
+            assert int(getattr(aux_r, f)) == int(getattr(aux_s, f))
+
+
 class TestSegsumChampionPath:
     @pytest.mark.parametrize("k,n,dup", [(32, 300, 2), (16, 600, 3)])
     def test_segsum_grads_match_scatter_add(self, monkeypatch, k, n, dup):
