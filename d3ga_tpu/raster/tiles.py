@@ -89,11 +89,13 @@ REORDER = os.environ.get("D3GA_REORDER", "argsort")
 # per-row operand tax) or "rec" ([T, K, CR] records,
 # pallas_blend_rec.py).
 BLEND_LAYOUT = os.environ.get("D3GA_BLEND_LAYOUT", "ct")
-# Selection segment-extraction strategy (dupsort_depth): "gather"
-# (T*K element gathers at positions starts[t]+k) or "slice" (one
-# dynamic kk-slice per tile — a T-slice XLA gather; candidate for the
-# ~2.5 ms element-gather line, round-5 A/B).
-SELEXT = os.environ.get("D3GA_SELEXT", "gather")
+# Selection segment-extraction strategy (dupsort_depth): "slice" (one
+# dynamic kk-slice per tile — a T-slice XLA gather) or "gather" (T*K
+# element gathers at positions starts[t]+k, ~3.6 ns/element). Round-5
+# on-chip A/B (same session, experiments/r5/session4.log): slice 27.64
+# vs gather 24.87 Mpix/s (+2.75 ms/step) — slice is the DEFAULT;
+# bit-identical output (tests/test_segsum.py::TestSelextSlice).
+SELEXT = os.environ.get("D3GA_SELEXT", "slice")
 
 TILE = 16
 ALPHA_SKIP = 1.0 / 255.0
@@ -593,6 +595,17 @@ def _select_per_tile_depthkey(
     assert not return_slotmap or n * dup2 < 2**31, (
         "flat duplicate id would overflow int32"
     )
+    # exact mode: when the dropped low depth bits AND the index both fit
+    # one int31, PACK them into a single second operand
+    # ((dlo << rank_bits) | idx orders by (depth-lo, idx) exactly like
+    # the separate keys) — the 3-operand sort drops back to 2 operands
+    # (~0.5-0.8 ms at 1.2M keys; falls back to 3 ops for huge scenes /
+    # batched grids where rank_bits > depth_bits)
+    rank_bits = max(int(n - 1).bit_length(), 1)
+    pack_exact = (
+        depth_exact and not return_slotmap
+        and (31 - depth_bits) + rank_bits <= 31
+    )
 
     his = []
     los = []
@@ -604,11 +617,16 @@ def _select_per_tile_depthkey(
             ok = (~empty) & (tx <= xc) & (ty <= yc)
             tid = ty * n_tiles_x + tx
             his.append(jnp.where(ok, (tid << depth_bits) | dq, sentinel))
-            los.append(gidx * dup2 + d_off if return_slotmap else gidx)
+            if return_slotmap:
+                los.append(gidx * dup2 + d_off)
+            elif pack_exact:
+                los.append((dlo << rank_bits) | gidx)
+            else:
+                los.append(gidx)
             d_off += 1
     ops = [jnp.concatenate(his)]
     num_keys = 1
-    if depth_exact:
+    if depth_exact and not pack_exact:
         ops.append(jnp.tile(dlo, dup2))
         num_keys = 2
     ops.append(jnp.concatenate(los))
@@ -658,6 +676,8 @@ def _select_per_tile_depthkey(
             starts[:-1, None] + jnp.arange(kk, dtype=jnp.int32)[None], m - 1
         )
         seg = lo_s[idx2] // dup2 if return_slotmap else lo_s[idx2]
+    if pack_exact:
+        seg = seg & ((1 << rank_bits) - 1)
     j = jax.lax.broadcasted_iota(jnp.int32, (T, kk), 1)
     live = j < jnp.minimum(counts, kk)[:, None]
     out = jnp.where(live, seg, jnp.int32(-1))
