@@ -657,18 +657,34 @@ def _select_per_tile_depthkey(
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     kk = min(K, m)
-    if SELEXT == "slice":
+    if SELEXT in ("slice", "gslice"):
         # extract each tile's front-kk as ONE dynamic K-slice per tile
-        # (an XLA gather of T contiguous slices) instead of T*K element
-        # gathers — element gathers run at ~3.6 ns/element on this rig
-        # (PERF_NOTES), slices are row-rate-bound. kk sentinel padding
-        # keeps every slice in-bounds (dynamic_slice would otherwise
-        # SHIFT the window at the tail and misalign live entries).
+        # instead of T*K element gathers — element gathers run at
+        # ~3.6 ns/element on this rig (PERF_NOTES), slices are
+        # row-rate-bound. kk sentinel padding keeps every slice
+        # in-bounds (dynamic_slice would otherwise SHIFT the window at
+        # the tail and misalign live entries). "slice" = vmapped
+        # dynamic_slice (XLA lowers it as a T-iteration while loop,
+        # 2.15 ms at Goliath scale — tools/hlo_while_hunt.py); "gslice"
+        # = one explicit lax.gather of T sorted slices — measured a
+        # WASH on-chip (28.62 vs 28.81 Mpix/s, experiments/r5/
+        # session6.log); kept as the documented alternative lowering.
         idx2 = None
         lo_pad = jnp.concatenate([lo_s, jnp.zeros((kk,), lo_s.dtype)])
-        seg = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(lo_pad, (s,), (kk,))
-        )(starts[:-1])
+        if SELEXT == "gslice":
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,),
+            )
+            seg = jax.lax.gather(
+                lo_pad, starts[:-1, None], dnums, slice_sizes=(kk,),
+                indices_are_sorted=True,
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )
+        else:
+            seg = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(lo_pad, (s,), (kk,))
+            )(starts[:-1])
         if return_slotmap:
             seg = seg // dup2
     else:
@@ -686,9 +702,20 @@ def _select_per_tile_depthkey(
     if return_depth:
         if idx2 is None:
             dep_pad = jnp.concatenate([dep_s, jnp.zeros((kk,), dep_s.dtype)])
-            dsel_raw = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(dep_pad, (s,), (kk,))
-            )(starts[:-1])
+            if SELEXT == "gslice":
+                dsel_raw = jax.lax.gather(
+                    dep_pad, starts[:-1, None],
+                    jax.lax.GatherDimensionNumbers(
+                        offset_dims=(1,), collapsed_slice_dims=(),
+                        start_index_map=(0,),
+                    ),
+                    slice_sizes=(kk,), indices_are_sorted=True,
+                    mode=jax.lax.GatherScatterMode.CLIP,
+                )
+            else:
+                dsel_raw = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(dep_pad, (s,), (kk,))
+                )(starts[:-1])
         else:
             dsel_raw = dep_s[idx2]
         dsel = jnp.where(live, dsel_raw, jnp.inf)
