@@ -231,22 +231,39 @@ def _forward_body_ct(G, C, FR, rec_ref, cnt_ref, basis_ref, tri_ref, out_ref):
     _iter_tiles(G, one_tile)
 
 
-def _backward_body_ct(G, C, FR, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref):
+def _backward_body_ct(
+    G, C, FR, rows_out, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, drec_ref
+):
     basis = basis_ref[0]
     tri = tri_ref[...]
     i = pl.program_id(0)
     j = pl.program_id(1)
     K = tri.shape[0]
     KH = _khalf(K)
+    CR = rec_ref.shape[2]
 
     def one_tile(b):
         cnt = cnt_ref[i, j * G + b]
         sx = ((j * G + b) * TILE).astype(jnp.float32)
         sy = ((i % FR) * TILE).astype(jnp.float32)
 
+        def store(d, b=b):
+            if rows_out:
+                # channel-major [1, CR, G*K] block: tile b's [CR, K]
+                # lands at STATIC lane offset b*K, so each channel row
+                # of the whole output is one contiguous [nty, ntx*K]
+                # plane — the segsum combine's 12 per-channel sort
+                # operands become free reshapes instead of [T, CR, K]
+                # strided slices (1 KB runs). Requires static b
+                # (G <= UNROLL_G): Mosaic rejects dynamic lane-offset
+                # stores.
+                drec_ref[0, :, b * K : (b + 1) * K] = d
+            else:
+                drec_ref[0, b] = d
+
         @pl.when(cnt == 0)
         def _():
-            drec_ref[0, b] = jnp.zeros_like(drec_ref[0, b])
+            store(jnp.zeros((CR, K), jnp.float32))
 
         def run(KK, b=b, sx=sx, sy=sy):
             d = _blend_bwd_ct(
@@ -257,7 +274,7 @@ def _backward_body_ct(G, C, FR, rec_ref, cnt_ref, basis_ref, tri_ref, g_ref, dre
                 d = jnp.concatenate(
                     [d, jnp.zeros((d.shape[0], K - KK), jnp.float32)], axis=1
                 )
-            drec_ref[0, b] = d
+            store(d)
 
         if KH is not None:
             @pl.when((cnt > 0) & (cnt <= KH))
@@ -337,7 +354,15 @@ def _g_to_tiles(g, ntx, nty, nxp, C):
     return gg
 
 
-def _run_backward_ct(rec, counts, g, ntx, nty, C, interpret=False, frame_rows=0):
+def _run_backward_ct(
+    rec, counts, g, ntx, nty, C, interpret=False, frame_rows=0,
+    rows_out=False,
+):
+    """rows_out=False: returns drec [T, CR, K] (tile-major). rows_out=
+    True (requires G_CT <= UNROLL_G, static in-kernel tile offsets):
+    returns channel-major [nty, CR, ntx*K], whose per-channel planes
+    reshape to the flat [T*K] sort operands of the segsum combine with
+    no strided relayout."""
     T, CR, K = rec.shape
     G = G_CT
     FR = frame_rows or nty
@@ -349,8 +374,15 @@ def _run_backward_ct(rec, counts, g, ntx, nty, C, interpret=False, frame_rows=0)
         cnt2 = jnp.pad(cnt2, ((0, 0), (0, px)))
     nxp = ntx + px
     gg = _g_to_tiles(g, ntx, nty, nxp, C)
+    if rows_out:
+        assert G <= UNROLL_G, "rows_out needs static tile lane offsets"
+        out_specs = pl.BlockSpec((1, CR, G * K), lambda i, j: (i, 0, j))
+        out_shape = jax.ShapeDtypeStruct((nty, CR, nxp * K), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((1, G, CR, K), lambda i, j: (i, j, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((nty, nxp, CR, K), jnp.float32)
     drec = pl.pallas_call(
-        partial(_backward_body_ct, G, C, FR),
+        partial(_backward_body_ct, G, C, FR, rows_out),
         grid=(nty, nxp // G),
         in_specs=[
             pl.BlockSpec((1, G, CR, K), lambda i, j: (i, j, 0, 0)),
@@ -359,10 +391,14 @@ def _run_backward_ct(rec, counts, g, ntx, nty, C, interpret=False, frame_rows=0)
             pl.BlockSpec((K, K), lambda i, j: (0, 0)),
             pl.BlockSpec((1, G, C + 1, P), lambda i, j: (i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, G, CR, K), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nty, nxp, CR, K), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(rec4, cnt2, *_tables(K), gg)
+    if rows_out:
+        if px:
+            drec = drec[:, :, : ntx * K]
+        return drec
     if px:
         drec = drec[:, :ntx]
     return drec.reshape(T, CR, K)

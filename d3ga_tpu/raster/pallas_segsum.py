@@ -36,6 +36,7 @@ SURVEY.md §3.5); TPU has no atomics, so the combine is restructured as
 sort + block-local MXU contraction instead.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -46,6 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
 W = 16384  # window lanes per block read (= 128 chunks)
+
+# rows_out channel-major blend-backward output (no [T, CR, K] strided
+# relayout feeding the combine's sort operands); A/B gate for on-chip
+# attribution. Requires the static-unroll kernel path (G_CT <= 8).
+SEGSUM_ROWS = os.environ.get("D3GA_SEGSUM_ROWS", "1") == "1"
 
 
 def _segsum_body(CR, B, n_chunks, blk0_ref, g0, g1, id0, id1, mn_ref, mx_ref, out_ref):
@@ -187,13 +193,28 @@ def _bgs_fwd(records_ext, idx, counts, ntx, nty, C, dup2, interpret, frame_rows)
 
 
 def _bgs_bwd(ntx, nty, C, dup2, interpret, frame_rows, res, g):
-    from d3ga_tpu.raster.pallas_blend_ct import _run_backward_ct
+    from d3ga_tpu.raster.pallas_blend_ct import (
+        G_CT,
+        UNROLL_G,
+        _run_backward_ct,
+    )
 
     rec_ct, idx, counts, n_ext = res
-    drec_ct = _run_backward_ct(
-        rec_ct, counts, g, ntx, nty, C, interpret, frame_rows
-    )
-    dre = combine_from_slots(drec_ct, idx, n_ext - 1, dup2, interpret)
+    if G_CT <= UNROLL_G and SEGSUM_ROWS:
+        # channel-major kernel output: the 12 per-channel sort operands
+        # are contiguous planes (rows_out) — no [T, CR, K] relayout
+        drec = _run_backward_ct(
+            rec_ct, counts, g, ntx, nty, C, interpret, frame_rows,
+            rows_out=True,
+        )
+        dre = combine_from_slots(
+            drec, idx, n_ext - 1, dup2, interpret, layout="ct_rows"
+        )
+    else:
+        drec_ct = _run_backward_ct(
+            rec_ct, counts, g, ntx, nty, C, interpret, frame_rows
+        )
+        dre = combine_from_slots(drec_ct, idx, n_ext - 1, dup2, interpret)
     return (dre, None, None)
 
 
@@ -208,15 +229,23 @@ def combine_from_slots(drec, idx, n, dup2, interpret=False, layout="ct"):
     does the segment sums on the MXU.
 
     layout="ct": drec [T, CR, K] (channels-transposed blend kernel);
+    layout="ct_rows": drec [nty, CR, ntx*K] (the blend backward's
+    rows_out channel-major layout — each per-channel sort operand is a
+    contiguous plane, no strided relayout);
     layout="rec": drec [T, K, CR] (flat-tiles rec kernel, the sharded
     path)."""
     if layout == "ct":
         T, CR, K = drec.shape
-        cols = tuple(drec[:, c, :].reshape(T * K) for c in range(CR))
+        m = T * K
+        cols = tuple(drec[:, c, :].reshape(m) for c in range(CR))
+    elif layout == "ct_rows":
+        nty, CR, nxk = drec.shape
+        m = nty * nxk
+        cols = tuple(drec[:, c, :].reshape(m) for c in range(CR))
     else:
         T, K, CR = drec.shape
-        cols = tuple(drec[:, :, c].reshape(T * K) for c in range(CR))
-    m = T * K
+        m = T * K
+        cols = tuple(drec[:, :, c].reshape(m) for c in range(CR))
     outs = jax.lax.sort((idx.reshape(m),) + cols, num_keys=1)
     ids_sorted = outs[0]
     g_sorted = jnp.stack(outs[1:])

@@ -657,7 +657,21 @@ def _select_per_tile_depthkey(
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     kk = min(K, m)
-    if SELEXT in ("slice", "gslice"):
+    if SELEXT == "pallas" and kk % 128 == 0:
+        # ONE Pallas program extracts every tile's front-kk window from
+        # VMEM (dynamic sublane slice + one dynamic lane rotate per
+        # tile) — no T-iteration XLA while loop (2.15 ms at Goliath
+        # scale) and no per-tile program/DMA overhead. Semantics match
+        # the slice path bit-exactly (zero padding past m; dead lanes
+        # masked by `live` below either way).
+        from d3ga_tpu.raster.pallas_extract import extract_slices
+
+        _interp = jax.default_backend() != "tpu"
+        idx2 = None
+        seg = extract_slices(lo_s, starts[:-1], kk, interpret=_interp)
+        if return_slotmap:
+            seg = seg // dup2
+    elif SELEXT in ("slice", "gslice"):
         # extract each tile's front-kk as ONE dynamic K-slice per tile
         # instead of T*K element gathers — element gathers run at
         # ~3.6 ns/element on this rig (PERF_NOTES), slices are
@@ -700,7 +714,14 @@ def _select_per_tile_depthkey(
     if K > kk:
         out = jnp.pad(out, ((0, 0), (0, K - kk)), constant_values=-1)
     if return_depth:
-        if idx2 is None:
+        if idx2 is None and SELEXT == "pallas" and kk % 128 == 0:
+            from d3ga_tpu.raster.pallas_extract import extract_slices
+
+            dsel_raw = extract_slices(
+                dep_s, starts[:-1], kk,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif idx2 is None:
             dep_pad = jnp.concatenate([dep_s, jnp.zeros((kk,), dep_s.dtype)])
             if SELEXT == "gslice":
                 dsel_raw = jax.lax.gather(

@@ -134,6 +134,63 @@ class TestSelextSlice:
             assert int(getattr(aux_r, f)) == int(getattr(aux_s, f))
 
 
+class TestSelextPallas:
+    def test_extract_slices_exact(self):
+        """extract_slices == per-start numpy windows (zero pad past m),
+        including o=0 (aligned), lane-boundary and s=m edge starts."""
+        from d3ga_tpu.raster.pallas_extract import extract_slices
+
+        rng = np.random.default_rng(5)
+        m, kk = 5000, 256
+        stream = jnp.asarray(
+            rng.integers(0, 1 << 30, size=(m,), dtype=np.int32)
+        )
+        starts_np = np.sort(
+            np.concatenate(
+                [
+                    rng.integers(0, m + 1, size=30),
+                    [0, 1, 127, 128, 129, m - 1, m],
+                ]
+            ).astype(np.int32)
+        )
+        out = extract_slices(
+            stream, jnp.asarray(starts_np), kk, interpret=True
+        )
+        pad = np.concatenate(
+            [np.asarray(stream), np.zeros((kk + 128,), np.int32)]
+        )
+        ref = np.stack([pad[s : s + kk] for s in starts_np])
+        assert np.array_equal(np.asarray(out), ref)
+
+    def test_pallas_extraction_bitmatches_gather(self, monkeypatch):
+        """D3GA_SELEXT=pallas (single-program VMEM extraction kernel)
+        must render bit-identically to the element-gather path at a
+        128-multiple K (the kernel's lane-chunk requirement; other K
+        fall back to the slice path)."""
+        import d3ga_tpu.raster.tiles as tiles
+
+        cam = simple_camera(w=96, h=64)
+        means, scales, rots, opac, colors = random_scene(
+            jax.random.PRNGKey(21), n=500
+        )
+
+        def render():
+            return rasterize_tiled(
+                means, cam, jnp.array([0.3, 0.1, 0.2]), scales=scales,
+                rotations=rots, opacities=opac, colors=colors,
+                max_per_tile=128, coarse="dupsort_depth", dup=3,
+                use_pallas=True, pallas_interpret=True,
+            )
+
+        monkeypatch.setattr(tiles, "SELEXT", "gather")
+        ref, aux_r = render()
+        monkeypatch.setattr(tiles, "SELEXT", "pallas")
+        img, aux_s = render()
+        assert np.array_equal(np.asarray(img), np.asarray(ref))
+        for f in aux_r._fields:
+            assert int(getattr(aux_r, f)) == int(getattr(aux_s, f))
+
+
 class TestSegsumChampionPath:
     @pytest.mark.parametrize("k,n,dup", [(32, 300, 2), (16, 600, 3)])
     def test_segsum_grads_match_scatter_add(self, monkeypatch, k, n, dup):
