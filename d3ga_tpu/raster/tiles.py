@@ -89,13 +89,17 @@ REORDER = os.environ.get("D3GA_REORDER", "argsort")
 # per-row operand tax) or "rec" ([T, K, CR] records,
 # pallas_blend_rec.py).
 BLEND_LAYOUT = os.environ.get("D3GA_BLEND_LAYOUT", "ct")
-# Selection segment-extraction strategy (dupsort_depth): "slice" (one
-# dynamic kk-slice per tile — a T-slice XLA gather) or "gather" (T*K
-# element gathers at positions starts[t]+k, ~3.6 ns/element). Round-5
-# on-chip A/B (same session, experiments/r5/session4.log): slice 27.64
-# vs gather 24.87 Mpix/s (+2.75 ms/step) — slice is the DEFAULT;
-# bit-identical output (tests/test_segsum.py::TestSelextSlice).
-SELEXT = os.environ.get("D3GA_SELEXT", "slice")
+# Selection segment-extraction strategy (dupsort_depth): "pallas"
+# (ONE single-program VMEM kernel, raster/pallas_extract.py — the
+# DEFAULT; falls back to "slice" when kk isn't a 128-multiple),
+# "slice" (one dynamic kk-slice per tile — XLA lowers it as a
+# T-iteration while loop, 2.15 ms at Goliath scale), "gslice" (one
+# lax.gather of T slices, measured a wash vs slice), or "gather" (T*K
+# element gathers, ~3.6 ns/element). Round-5 on-chip A/Bs: gather
+# 24.87 < slice 27.64 (session4) and slice 28.55 < pallas 30.46-30.85
+# Mpix/s (session7, same session 2x2) — all bit-identical output
+# (tests/test_segsum.py::TestSelextSlice/TestSelextPallas).
+SELEXT = os.environ.get("D3GA_SELEXT", "pallas")
 
 TILE = 16
 ALPHA_SKIP = 1.0 / 255.0
